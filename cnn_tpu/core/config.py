@@ -1,0 +1,104 @@
+"""Config layer.
+
+The reference has no config system at all — every hyperparameter is a
+hard-coded ``const`` local (``cpu/src/cnn.cpp:36-43,67-71``; checkpoint paths
+at ``cnn.cpp:60``, ``inference.cpp:35``, ``grad_cam.cpp:34``). Here they are
+lifted into dataclasses that double as CLI flag definitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture config (reference: ``AlexNet`` ctor, ``alexnet.cpp:10-33``)."""
+
+    name: str = "alexnet"
+    num_classes: int = 3
+    batch_norm: bool = False   # reference trains with BN off by default
+    dropout: float = 0.0       # reference's Dropout is commented out (alexnet.cpp:28)
+    image_size: int = 224
+    channels: int = 3
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # flip to bfloat16 for MXU-friendly training
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset/pipeline config (reference: ``cnn.cpp:41-50``, ``pipeline.h``)."""
+
+    dataset_path: str = "/root/reference/datasets/animals"
+    categories: Sequence[str] = ("dog", "panda", "bird")
+    train_ratio: float = 0.8
+    test_ratio: float = 0.1
+    split_seed: int = 212       # reference: pipeline.cpp:96
+    loader_seed: int = 212      # reference: pipeline.h:53
+    augment: bool = True
+    image_size: int = 224
+    # 'bgr' matches the reference (cv::imread order, never swapped,
+    # data_format.cpp:13-23); 'rgb' is the sane default for new models.
+    channel_order: str = "bgr"
+    prefetch: int = 4           # host->device prefetch depth (reference: none)
+    num_workers: int = 2        # decode/augment worker threads (reference: single-thread)
+    backend: str = "auto"       # 'auto' | 'native' (C++ loader) | 'python'
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop config (reference constants at ``cnn.cpp:36-43,67-71``)."""
+
+    train_batch_size: int = 4       # reference: cnn.cpp:36
+    valid_batch_size: int = 64      # reference forced 1 (cnn.cpp:37-40); we batch
+    learning_rate: float = 1e-3     # reference: cnn.cpp:69
+    total_iters: int = 400_000      # reference: cnn.cpp:68
+    start_iters: int = 1
+    valid_iters: int = 1000         # validate every N iters (cnn.cpp:70)
+    save_iters: int = 5000          # checkpoint every N iters (cnn.cpp:71)
+    checkpoint_dir: str = "checkpoints/alexnet"
+    optimizer: str = "sgd"          # 'sgd' matches reference; 'momentum'/'adam' are supersets
+    momentum: float = 0.0
+    seed: int = 212
+    # parallelism: number of data-parallel shards ('auto' = all local devices)
+    data_parallel: int = 0          # 0 = auto
+    model_parallel: int = 1
+    donate: bool = True
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{prefix}{f.name.replace('_', '-')}"
+        try:
+            if f.type in ("bool", bool) or isinstance(f.default, bool):
+                parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                    default=f.default)
+            elif f.name == "categories":
+                parser.add_argument(name, type=lambda s: tuple(s.split(",")), default=f.default)
+            else:
+                typ = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+                if isinstance(f.default, (int, float, str)):
+                    typ = type(f.default)
+                parser.add_argument(name, type=typ, default=f.default)
+        except argparse.ArgumentError:
+            pass  # shared field (e.g. image_size appears in two configs)
+
+
+def parse_configs(argv: Sequence[str] | None = None,
+                  description: str = "cnn_tpu") -> tuple[ModelConfig, DataConfig, TrainConfig, argparse.Namespace]:
+    """Build (ModelConfig, DataConfig, TrainConfig) from CLI flags."""
+    parser = argparse.ArgumentParser(description=description)
+    _add_dataclass_args(parser, ModelConfig)
+    _add_dataclass_args(parser, DataConfig)
+    _add_dataclass_args(parser, TrainConfig)
+    ns, _ = parser.parse_known_args(argv)
+
+    def pick(cls):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(ns).items() if k in names})
+
+    return pick(ModelConfig), pick(DataConfig), pick(TrainConfig), ns

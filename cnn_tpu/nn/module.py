@@ -1,0 +1,159 @@
+"""Functional layer specs.
+
+The reference's ``Layer`` base (``architectures.h:34-46``) is a mutable OO
+interface: ``forward`` caches inputs/outputs in the object, ``backward``
+consumes them, ``update_gradients`` applies SGD in-layer, and a global
+``no_grad`` flag switches behavior. The TPU-native design inverts all of
+that: a layer is an immutable *spec* whose ``init`` returns pytrees and whose
+``apply`` is a pure function ``(params, state, x, train, rng) -> (y, state)``.
+Gradients come from ``jax.grad`` over the composed function; the optimizer is
+a separate transform (``cnn_tpu/optim.py``); train/eval is an argument.
+
+Each layer exposes ``has_params`` / ``has_state`` so Sequential can build
+minimal pytrees, and ``param_spec`` metadata used by the reference ``.model``
+checkpoint importer/exporter (``cnn_tpu/utils/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cnn_tpu import ops
+
+
+@dataclass(frozen=True)
+class Layer:
+    name: str
+
+    has_params: bool = field(default=False, init=False, repr=False)
+    has_state: bool = field(default=False, init=False, repr=False)
+    needs_rng: bool = field(default=False, init=False, repr=False)
+
+    def init(self, key: Optional[jax.Array], dtype=jnp.float32) -> tuple[Any, Any]:
+        return None, None
+
+    def apply(self, params: Any, state: Any, x: jnp.ndarray, *,
+              train: bool, rng: Optional[jax.Array] = None,
+              compute_dtype=None) -> tuple[jnp.ndarray, Any]:
+        raise NotImplementedError
+
+    def out_shape(self, in_shape: tuple[int, ...]) -> tuple[int, ...]:
+        """Spatial shape inference for (H, W, C) tuples."""
+        return in_shape
+
+
+@dataclass(frozen=True)
+class Conv2D(Layer):
+    """VALID conv, NHWC/HWIO (reference: ``Conv2D``, conv2d.cpp)."""
+    in_channels: int = 3
+    out_channels: int = 16
+    kernel_size: int = 3
+    stride: int = 2
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+
+    def init(self, key, dtype=jnp.float32):
+        return ops.conv2d_init(key, self.in_channels, self.out_channels,
+                               self.kernel_size, dtype), None
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.conv2d(params, x, self.stride, compute_dtype), state
+
+    def out_shape(self, in_shape):
+        h, w, _ = in_shape
+        return (ops.conv_out_size(h, self.kernel_size, self.stride),
+                ops.conv_out_size(w, self.kernel_size, self.stride),
+                self.out_channels)
+
+
+@dataclass(frozen=True)
+class MaxPool2D(Layer):
+    """kernel/stride max pool (reference: ``MaxPool2D``, pool2d.cpp)."""
+    kernel_size: int = 2
+    stride: int = 2
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.max_pool2d(x, self.kernel_size, self.stride), state
+
+    def out_shape(self, in_shape):
+        h, w, c = in_shape
+        return (ops.conv_out_size(h, self.kernel_size, self.stride),
+                ops.conv_out_size(w, self.kernel_size, self.stride), c)
+
+
+@dataclass(frozen=True)
+class ReLU(Layer):
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.relu(x), state
+
+
+@dataclass(frozen=True)
+class Flatten(Layer):
+    """[B,H,W,C] -> [B, H*W*C]. Implicit in the reference's LinearLayer."""
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return x.reshape(x.shape[0], -1), state
+
+    def out_shape(self, in_shape):
+        n = 1
+        for d in in_shape:
+            n *= d
+        return (n,)
+
+
+@dataclass(frozen=True)
+class Linear(Layer):
+    """Dense (reference: ``LinearLayer``, linear.cpp)."""
+    in_features: int = 4608
+    out_features: int = 3
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+
+    def init(self, key, dtype=jnp.float32):
+        return ops.linear_init(key, self.in_features, self.out_features, dtype), None
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.linear(params, x, compute_dtype), state
+
+    def out_shape(self, in_shape):
+        return (self.out_features,)
+
+
+@dataclass(frozen=True)
+class BatchNorm2D(Layer):
+    """Per-channel BN (reference: ``BatchNorm2D``, batchnorm2d.cpp)."""
+    num_channels: int = 16
+    eps: float = 1e-5
+    momentum: float = 0.1
+    compat_zero_var_init: bool = False  # reproduce the reference's broken eval
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+        object.__setattr__(self, "has_state", True)
+
+    def init(self, key, dtype=jnp.float32):
+        return ops.batch_norm2d_init(self.num_channels, dtype,
+                                     self.compat_zero_var_init)
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.batch_norm2d(params, state, x, train=train,
+                                eps=self.eps, momentum=self.momentum)
+
+
+@dataclass(frozen=True)
+class Dropout(Layer):
+    """Channel dropout (reference: ``Dropout``, dropout.cpp)."""
+    p: float = 0.5
+    compat: str = "inverted"  # 'reference' | 'sampled' | 'inverted'
+
+    def __post_init__(self):
+        object.__setattr__(self, "needs_rng", self.compat != "reference")
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.channel_dropout(x, self.p, train=train, rng=rng,
+                                   compat=self.compat), state

@@ -1,0 +1,41 @@
+"""Softmax, one-hot, and fused softmax cross-entropy.
+
+Reference (``cpu/src/func.cpp``):
+- ``softmax``: per-sample max-subtraction, exp clamped (x>=88 -> FLT_MAX,
+  x<=-50 -> 0), NaN -> 0 (``func.cpp:6-37``). After max subtraction all
+  inputs are <= 0, so the clamps are dead on the hot path; we use the plain
+  stable form.
+- ``cross_entroy_backward`` (``func.cpp:56-73``): loss = -mean_b sum_i y*log p,
+  delta = p - y (NOT divided by batch; each reference layer divides its own
+  weight grad by B instead — net effect identical to ``jax.grad`` of the
+  batch-mean loss, which is what we use).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=axis)
+
+
+def one_hot(labels: jnp.ndarray, num_classes: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jax.nn.one_hot(labels, num_classes, dtype=dtype)
+
+
+def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Batch-mean softmax CE. ``labels``: int [B] or one-hot [B, C].
+
+    Gradient wrt logits is ``(softmax(logits) - y) / B`` — composed with the
+    per-layer math this yields exactly the reference's parameter gradients
+    (see module docstring).
+    """
+    logits = logits.astype(jnp.float32)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    if labels.ndim == logits.ndim - 1:
+        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+    else:
+        nll = -jnp.sum(labels * log_p, axis=-1)
+    return jnp.mean(nll)

@@ -1,0 +1,9 @@
+from cnn_tpu.parallel.mesh import make_mesh  # noqa: F401
+from cnn_tpu.parallel.train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_forward,
+    make_train_step,
+    shard_train_state,
+)

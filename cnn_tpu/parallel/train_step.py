@@ -1,0 +1,158 @@
+"""The jitted train/eval steps — single-chip and sharded.
+
+Reference equivalent: the hot loop body of ``cnn.cpp:77-96`` (forward ->
+softmax -> CE -> backward -> SGD -> accuracy), executed as five separate
+single-threaded C++ phases. Here the whole thing is ONE compiled XLA
+program: device-side uint8 normalize, forward, loss, backward (autograd),
+optimizer update, and batch metrics all fuse under ``jax.jit`` with buffer
+donation, so a step is a single device launch with no host round-trips.
+
+Parallelism: with a ``Mesh``, the batch shards over the 'data' axis and the
+classifier head over 'model'; gradients are reduced by XLA-inserted
+collectives over ICI (the idiomatic replacement for the reference's
+single-device loop; it had no NCCL/MPI to port — SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cnn_tpu.ops.preprocess import uint8_to_float
+from cnn_tpu.optim import Optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any        # e.g. BatchNorm moving stats
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def create_train_state(model, optimizer: Optimizer, key: jax.Array,
+                       dtype=jnp.float32) -> TrainState:
+    k_init, k_train = jax.random.split(key)
+    params, state = model.init(k_init, dtype)
+    return TrainState(params=params, state=state,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32), rng=k_train)
+
+
+def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype):
+    logits, new_state, _ = model.apply(params, state, images, train=train,
+                                       rng=rng, compute_dtype=compute_dtype)
+    logits = logits.astype(jnp.float32)
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+    loss = jnp.mean(nll)
+    correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
+    return loss, (new_state, correct)
+
+
+def _prep(images, compute_dtype):
+    if images.dtype == jnp.uint8:
+        return uint8_to_float(images, compute_dtype or jnp.float32)
+    return images
+
+
+def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
+
+    ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
+    [B] int32. ``metrics``: dict(loss f32, correct i32).
+    """
+
+    def step(ts: TrainState, images, labels):
+        images = _prep(images, compute_dtype)
+        rng = jax.random.fold_in(ts.rng, ts.step)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (new_state, correct)), grads = grad_fn(
+            ts.params, ts.state, model, images, labels, rng, True, compute_dtype)
+        new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
+        return new_ts, {"loss": loss, "correct": correct}
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def shard_step(ts, images, labels):
+        images = jax.lax.with_sharding_constraint(images, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        return step(ts, images, labels)
+
+    return jax.jit(shard_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None):
+    """Returns jitted ``(params, state, images, labels) -> metrics`` (train=False)."""
+
+    def step(params, state, images, labels):
+        images = _prep(images, compute_dtype)
+        loss, (_, correct) = _loss_fn(params, state, model, images, labels,
+                                      None, False, compute_dtype)
+        return {"loss": loss, "correct": correct}
+
+    if mesh is None:
+        return jax.jit(step)
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def shard_step(params, state, images, labels):
+        images = jax.lax.with_sharding_constraint(images, batch_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        return step(params, state, images, labels)
+
+    return jax.jit(shard_step)
+
+
+def make_forward(model, *, compute_dtype=None):
+    """Jitted inference forward: images -> probs (reference inference.cpp:65-69)."""
+
+    @jax.jit
+    def fwd(params, state, images):
+        images = _prep(images, compute_dtype)
+        logits, _, _ = model.apply(params, state, images, train=False,
+                                   compute_dtype=compute_dtype)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return fwd
+
+
+def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState onto the mesh.
+
+    Everything is replicated except parameters whose layer name starts with
+    'linear' and whose minor dim divides the 'model' axis — those shard over
+    'model' (tensor parallelism for the classifier head). With
+    ``model_parallel == 1`` this is pure replication (plain DP).
+    """
+    replicated = NamedSharding(mesh, P())
+    model_dim = mesh.shape["model"]
+
+    def leaf_sharding(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if (model_dim > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[-1] % model_dim == 0
+                and any(n.startswith("linear") for n in names)):
+            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+        return replicated
+
+    def place(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(leaf, leaf_sharding(path, leaf)), tree)
+
+    return TrainState(
+        params=place(ts.params),
+        state=place(ts.state),
+        opt_state=place(ts.opt_state),
+        step=jax.device_put(ts.step, replicated),
+        rng=jax.device_put(ts.rng, replicated),
+    )

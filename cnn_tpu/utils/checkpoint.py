@@ -1,0 +1,189 @@
+"""Checkpointing.
+
+Two formats:
+
+1. **Native**: a pickle of the full TrainState — params, BN state, optimizer
+   state, step, and RNG key. This is a strict superset of the reference,
+   which persists only raw weights and loses RNG/iteration on resume
+   (``alexnet.cpp:69-90``; manual ``start_iters`` at ``cnn.cpp:67``).
+
+2. **Reference ``.model``**: the flat little-endian float32 concatenation
+   written by the C++ (per-layer order at ``conv2d.cpp:220-226``,
+   ``linear.cpp:105-108``, ``batchnorm2d.cpp:168-174``; whole-model order =
+   layer list order, ``alexnet.cpp:69-90``). Importing these committed
+   checkpoints is the numerical-parity oracle (SURVEY.md §4): RNG parity
+   with C++ is impossible, so parity always flows through loaded weights.
+
+Layout conversion (reference CHW / OIHW -> our NHWC / HWIO):
+- conv kernels are stored as ``out_channels`` blocks of ``[in][kh][kw]``
+  -> transpose (O,I,KH,KW) to (KH,KW,I,O).
+- the dense layer's flat ``[in][out]`` weight indexes ``in`` in CHW flatten
+  order (c*H*W + h*W + w); our Flatten is NHWC (h*W*C + w*C + c), so the
+  in-dim is permuted via a (C,H,W) -> (H,W,C) transpose.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu.nn.module import BatchNorm2D, Conv2D, Linear
+from cnn_tpu.nn.sequential import Sequential
+
+# ---------------------------------------------------------------- native ----
+
+
+def save_checkpoint(path: str, train_state) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.tree_util.tree_map(np.asarray, train_state.params),
+        "state": jax.tree_util.tree_map(np.asarray, train_state.state),
+        "opt_state": jax.tree_util.tree_map(np.asarray, train_state.opt_state),
+        "step": int(train_state.step),
+        "rng": np.asarray(jax.random.key_data(train_state.rng)),
+        "format_version": 1,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, train_state=None):
+    """Returns a TrainState (template's types preserved where given)."""
+    from cnn_tpu.parallel.train_step import TrainState
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return TrainState(
+        params=to_jnp(payload["params"]),
+        state=to_jnp(payload["state"]),
+        opt_state=to_jnp(payload["opt_state"]),
+        step=jnp.asarray(payload["step"], jnp.int32),
+        rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
+    )
+
+
+def checkpoint_name(iteration: int, train_acc: float, valid_acc: float,
+                    suffix: str = ".ckpt") -> str:
+    """Reference filename convention (cnn.cpp:121-124)."""
+    return f"iter_{iteration}_train_{train_acc:.3f}_valid_{valid_acc:.3f}{suffix}"
+
+
+def parse_checkpoint_name(name: str):
+    m = re.match(r"iter_(\d+)_train_([\d.]+)_valid_([\d.]+)\.", name)
+    if not m:
+        return None
+    return int(m.group(1)), float(m.group(2)), float(m.group(3))
+
+
+# --------------------------------------------------- reference .model -------
+
+
+def _param_layers(net: Sequential):
+    for layer in net.layers:
+        if isinstance(layer, (Conv2D, Linear, BatchNorm2D)):
+            yield layer
+
+
+def reference_param_count(net: Sequential) -> int:
+    n = 0
+    for layer in _param_layers(net):
+        if isinstance(layer, Conv2D):
+            n += layer.out_channels * (layer.in_channels * layer.kernel_size ** 2 + 1)
+        elif isinstance(layer, Linear):
+            n += layer.in_features * layer.out_features + layer.out_features
+        elif isinstance(layer, BatchNorm2D):
+            n += 4 * layer.num_channels
+    return n
+
+
+def import_reference_model(path: str, net: Sequential,
+                           feature_hw: int | None = None) -> tuple[dict, dict]:
+    """Load a reference ``.model`` file into (params, state) for ``net``.
+
+    ``feature_hw``: spatial extent of the conv features entering the dense
+    layer (6 for the 224x224 AlexNet); inferred from the layer stack when
+    None.
+    """
+    raw = np.fromfile(path, dtype="<f4")
+    expected = reference_param_count(net)
+    assert raw.size == expected, (
+        f"{path}: has {raw.size} f32, model needs {expected}")
+
+    params: dict = {}
+    state: dict = {}
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = raw[pos:pos + n]
+        pos += n
+        return out
+
+    last_conv_channels = None
+    for layer in _param_layers(net):
+        if isinstance(layer, Conv2D):
+            o, i, k = layer.out_channels, layer.in_channels, layer.kernel_size
+            w = take(o * i * k * k).reshape(o, i, k, k).transpose(2, 3, 1, 0)
+            b = take(o)
+            params[layer.name] = {"w": jnp.asarray(w.copy()),
+                                  "b": jnp.asarray(b.copy())}
+            last_conv_channels = o
+        elif isinstance(layer, Linear):
+            fin, fout = layer.in_features, layer.out_features
+            w = take(fin * fout).reshape(fin, fout)
+            b = take(fout)
+            c = last_conv_channels
+            if c is not None and fin % c == 0:
+                hw = feature_hw if feature_hw is not None else int(round((fin // c) ** 0.5))
+                assert c * hw * hw == fin, (c, hw, fin)
+                # reference in-dim order is (c, h, w); ours is (h, w, c)
+                w = w.reshape(c, hw, hw, fout).transpose(1, 2, 0, 3).reshape(fin, fout)
+            params[layer.name] = {"w": jnp.asarray(w.copy()),
+                                  "b": jnp.asarray(b.copy())}
+        elif isinstance(layer, BatchNorm2D):
+            n = layer.num_channels
+            params[layer.name] = {"gamma": jnp.asarray(take(n).copy()),
+                                  "beta": jnp.asarray(take(n).copy())}
+            state[layer.name] = {"mean": jnp.asarray(take(n).copy()),
+                                 "var": jnp.asarray(take(n).copy())}
+    assert pos == raw.size
+    return params, state
+
+
+def export_reference_model(path: str, net: Sequential, params: dict,
+                           state: dict, feature_hw: int | None = None) -> None:
+    """Write (params, state) as a reference-format ``.model`` file."""
+    chunks: list[np.ndarray] = []
+    last_conv_channels = None
+    for layer in _param_layers(net):
+        p = jax.tree_util.tree_map(np.asarray, params[layer.name])
+        if isinstance(layer, Conv2D):
+            chunks.append(np.ascontiguousarray(
+                p["w"].transpose(3, 2, 0, 1)).ravel())  # HWIO -> OIHW
+            chunks.append(p["b"].ravel())
+            last_conv_channels = layer.out_channels
+        elif isinstance(layer, Linear):
+            w = p["w"]
+            fin, fout = w.shape
+            c = last_conv_channels
+            if c is not None and fin % c == 0:
+                hw = feature_hw if feature_hw is not None else int(round((fin // c) ** 0.5))
+                w = w.reshape(hw, hw, c, fout).transpose(2, 0, 1, 3).reshape(fin, fout)
+            chunks.append(np.ascontiguousarray(w).ravel())
+            chunks.append(p["b"].ravel())
+        elif isinstance(layer, BatchNorm2D):
+            s = jax.tree_util.tree_map(np.asarray, state[layer.name])
+            chunks.extend([p["gamma"].ravel(), p["beta"].ravel(),
+                           s["mean"].ravel(), s["var"].ravel()])
+    flat = np.concatenate(chunks).astype("<f4")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat.tofile(path)

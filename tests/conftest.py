@@ -1,0 +1,34 @@
+"""Test harness: run on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on XLA's host platform with 8 virtual devices (the same GSPMD
+partitioner that runs on real ICI).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(212)
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    return os.path.join(os.path.dirname(__file__), "fixtures")

@@ -1,0 +1,150 @@
+"""Model-level tests: AlexNet topology, train step, checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu import optim
+from cnn_tpu.core.pytree import param_count
+from cnn_tpu.models import AlexNet, get_model
+from cnn_tpu.parallel import (create_train_state, make_eval_step, make_forward,
+                              make_train_step)
+from cnn_tpu.utils.checkpoint import (checkpoint_name, load_checkpoint,
+                                      parse_checkpoint_name,
+                                      reference_param_count, save_checkpoint)
+
+
+def test_alexnet_shape_chain():
+    model = AlexNet(num_classes=3)
+    shapes = dict(model.net.out_shapes((224, 224, 3)))
+    # reference chain: 224->111->55(pool)->27->13->6 (alexnet.cpp:11-32)
+    assert shapes["conv_layer_1"] == (111, 111, 16)
+    assert shapes["max_pool_1"] == (55, 55, 16)
+    assert shapes["conv_layer_2"] == (27, 27, 32)
+    assert shapes["conv_layer_3"] == (13, 13, 64)
+    assert shapes["conv_layer_4"] == (6, 6, 128)
+    assert shapes["linear_1"] == (3,)
+
+
+def test_alexnet_param_count():
+    """111,267 params = the reference's 445,068-byte checkpoint (SURVEY.md §6)."""
+    model = AlexNet(num_classes=3)
+    params, _ = model.init(jax.random.key(0))
+    assert param_count(params) == 111_267
+    assert reference_param_count(model.net) == 111_267
+
+
+def test_alexnet_bn_param_count():
+    model = AlexNet(num_classes=3, batch_norm=True)
+    # BN save format adds 4 vectors per BN layer (gamma/beta/mean/var)
+    assert reference_param_count(model.net) == 111_267 + 4 * (16 + 32 + 64 + 128)
+
+
+def test_forward_shapes_and_dtype():
+    model = AlexNet(num_classes=3)
+    params, state = model.init(jax.random.key(0))
+    x = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    logits, _, _ = model.apply(params, state, x)
+    assert logits.shape == (2, 3)
+
+
+def test_registry():
+    m = get_model("alexnet", num_classes=5)
+    assert m.num_classes == 5
+
+
+def test_train_step_learns(rng):
+    """A few SGD steps on a separable toy problem must reduce loss."""
+    model = AlexNet(num_classes=3, image_size=32)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    step = make_train_step(model, opt)
+
+    # three classes with distinct mean intensities
+    labels = np.array([0, 1, 2, 0, 1, 2], np.int32)
+    images = np.stack([np.full((32, 32, 3), 0.1 + 0.4 * l, np.float32)
+                       + rng.standard_normal((32, 32, 3)).astype(np.float32) * 0.01
+                       for l in labels])
+    first_loss = None
+    for _ in range(30):
+        ts, metrics = step(ts, jnp.asarray(images), jnp.asarray(labels))
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < first_loss
+    assert int(ts.step) == 30
+
+
+def test_train_step_uint8_input():
+    model = AlexNet(num_classes=3, image_size=32)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(1))
+    step = make_train_step(model, opt)
+    images = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    labels = jnp.zeros((2,), jnp.int32)
+    ts, metrics = step(ts, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_and_forward():
+    model = AlexNet(num_classes=3, image_size=32)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(2))
+    ev = make_eval_step(model)
+    metrics = ev(ts.params, ts.state, jnp.zeros((4, 32, 32, 3)), jnp.zeros(4, jnp.int32))
+    assert 0 <= int(metrics["correct"]) <= 4
+    fwd = make_forward(model)
+    probs = fwd(ts.params, ts.state, jnp.zeros((1, 32, 32, 3)))
+    np.testing.assert_allclose(np.asarray(probs).sum(), 1.0, rtol=1e-5)
+
+
+def test_bn_dropout_model_runs():
+    model = AlexNet(num_classes=3, image_size=32, batch_norm=True, dropout=0.4)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(3))
+    step = make_train_step(model, opt)
+    x = jnp.ones((4, 32, 32, 3)) * 0.5
+    y = jnp.zeros(4, jnp.int32)
+    before = np.asarray(ts.state["bn_layer_1"]["mean"]).copy()  # read pre-donation
+    ts2, m = step(ts, x, y)
+    assert np.isfinite(float(m["loss"]))
+    # BN state must have been updated by the train step
+    after = np.asarray(ts2.state["bn_layer_1"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_optimizers():
+    for name in ("sgd", "momentum", "adam"):
+        model = AlexNet(num_classes=3, image_size=32)
+        opt = optim.make_optimizer(name, 1e-3)
+        ts = create_train_state(model, opt, jax.random.key(4))
+        step = make_train_step(model, opt)
+        ts, m = step(ts, jnp.zeros((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+        assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = AlexNet(num_classes=3, image_size=32)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(5))
+    step = make_train_step(model, opt, donate=False)
+    ts, _ = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+
+    path = os.path.join(tmp_path, "ck.ckpt")
+    save_checkpoint(path, ts)
+    ts2 = load_checkpoint(path)
+    assert int(ts2.step) == int(ts.step)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues identically
+    ts_a, m_a = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    ts_b, m_b = step(ts2, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_names():
+    name = checkpoint_name(5000, 0.761, 0.803)
+    assert name == "iter_5000_train_0.761_valid_0.803.ckpt"
+    assert parse_checkpoint_name(name) == (5000, 0.761, 0.803)
