@@ -20,8 +20,13 @@ import jax.numpy as jnp
 
 
 def uint8_to_float(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """[.., H, W, C] uint8 -> float in [0, 1] (reference: /255)."""
-    return x.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype=dtype)
+    """[.., H, W, C] uint8 -> float in [0, 1].
+
+    True division, not reciprocal-multiply: the reference computes
+    ``(uint8 * 1.f) / 255`` (data_format.cpp:18-21) and the two differ by
+    1 ulp for some byte values, which matters for bit-parity tests.
+    """
+    return x.astype(dtype) / jnp.asarray(255.0, dtype=dtype)
 
 
 def normalize(x: jnp.ndarray, mean=(0.406, 0.456, 0.485),
