@@ -61,6 +61,7 @@ class TrainConfig:
     valid_iters: int = 1000         # validate every N iters (cnn.cpp:70)
     save_iters: int = 5000          # checkpoint every N iters (cnn.cpp:71)
     checkpoint_dir: str = "checkpoints/alexnet"
+    resume: str = ""                # path to a native .ckpt to resume from
     optimizer: str = "sgd"          # 'sgd' matches reference; 'momentum'/'adam' are supersets
     momentum: float = 0.0
     seed: int = 212

@@ -1,0 +1,166 @@
+"""Host data loader: decode -> augment -> resize -> uint8 NHWC batches.
+
+Reference (``pipeline.cpp:112-164``): a single-threaded sequential cursor
+that, per sample, does ``cv::imread`` -> optional augment -> ``cv::resize``
+-> scalar-loop float conversion into a reused CHW buffer. Three deliberate
+upgrades here, all absent in the reference:
+
+1. **Threaded + prefetched**: a producer thread assembles batches (decode
+   via a worker pool) into a bounded queue, overlapping host IO with device
+   compute. The float conversion moves to the device
+   (``ops/preprocess.py``), so the host only ships uint8 — 4x less traffic.
+2. **Real epoch reshuffle**: the reference re-seeds a fresh engine with the
+   same seed at every epoch wrap (``pipeline.cpp:149``), so every epoch
+   sees the *identical* permutation; we fold the epoch into the seed
+   (``compat_fixed_epoch_shuffle=True`` reproduces the reference behavior).
+3. **Deterministic under threading**: augmentation randomness is derived
+   per (seed, epoch, sample-position), not from shared-engine call order.
+
+A C++ native backend (csrc/dataloader.cpp) accelerates decode+resize; pass
+``backend='native'`` or 'auto' (falls back to this Python path).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from cnn_tpu.data.augment import ImageAugmentor
+from cnn_tpu.data.dataset import Sample
+
+
+class DataLoader:
+    def __init__(self, samples: Sequence[Sample], batch_size: int = 4,
+                 augment: bool = False, shuffle: bool = True,
+                 image_size: int = 224, seed: int = 212,
+                 num_workers: int = 2, prefetch: int = 4,
+                 compat_fixed_epoch_shuffle: bool = False,
+                 backend: str = "python"):
+        assert batch_size >= 1
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.augment = augment
+        self.shuffle = shuffle
+        self.image_size = image_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.compat_fixed_epoch_shuffle = compat_fixed_epoch_shuffle
+        self.augmentor = ImageAugmentor(seed=seed)
+        self._native = None
+        if backend in ("native", "auto"):
+            try:
+                from cnn_tpu.data.native import NativeLoader
+                self._native = NativeLoader(image_size)
+            except Exception:
+                if backend == "native":
+                    raise
+        self._queue: Optional[queue.Queue] = None
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return len(self.samples) // self.batch_size
+
+    # ------------------------------------------------------------ internals
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(len(self.samples))
+        s = self.seed if self.compat_fixed_epoch_shuffle else self.seed + epoch
+        return np.random.default_rng(s).permutation(len(self.samples))
+
+    def _load_one(self, path: str, label: int, epoch: int, pos: int):
+        if self._native is not None and not self.augment:
+            img = self._native.load(path)
+            if img is not None:
+                return img, label
+        img = cv2.imread(path)  # BGR, like the reference
+        if img is None:
+            raise IOError(f"unreadable image: {path}")
+        if self.augment:
+            rng = np.random.default_rng((self.seed, epoch, pos))
+            img = self.augmentor(img, rng)
+        img = cv2.resize(img, (self.image_size, self.image_size))
+        return np.ascontiguousarray(img), label
+
+    def _producer(self):
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        epoch = 0
+        try:
+            while not self._stop.is_set():
+                order = self._epoch_order(epoch)
+                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                    idxs = order[start:start + self.batch_size]
+                    futs = [pool.submit(self._load_one, *self.samples[i], epoch, int(i))
+                            for i in idxs]
+                    imgs, labels = zip(*[f.result() for f in futs])
+                    batch = (np.stack(imgs), np.asarray(labels, np.int32))
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                epoch += 1
+        finally:
+            pool.shutdown(wait=False)
+
+    def _ensure_started(self):
+        if self._thread is None:
+            self._queue = queue.Queue(maxsize=self.prefetch)
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._producer, daemon=True)
+            self._thread.start()
+
+    # ------------------------------------------------------------ public API
+
+    def generate_batch(self) -> tuple[np.ndarray, np.ndarray]:
+        """Next (uint8 [B,H,W,C] batch, int32 [B] labels); infinite stream
+        (epoch-wrapping), like the reference's ``generate_batch``."""
+        self._ensure_started()
+        return self._queue.get()
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """One epoch, sequentially (no background thread) — for eval loops."""
+        order = self._epoch_order(0) if self.shuffle else np.arange(len(self.samples))
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idxs = order[start:start + self.batch_size]
+                futs = [pool.submit(self._load_one, *self.samples[i], 0, int(i))
+                        for i in idxs]
+                imgs, labels = zip(*[f.result() for f in futs])
+                yield np.stack(imgs), np.asarray(labels, np.int32)
+            rem = len(order) % self.batch_size
+            if rem:
+                idxs = order[-rem:]
+                futs = [pool.submit(self._load_one, *self.samples[i], 0, int(i))
+                        for i in idxs]
+                imgs, labels = zip(*[f.result() for f in futs])
+                yield np.stack(imgs), np.asarray(labels, np.int32)
+        finally:
+            pool.shutdown(wait=False)
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

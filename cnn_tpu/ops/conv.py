@@ -60,12 +60,14 @@ def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
         w = w.astype(compute_dtype)
     if precision is None and x.dtype == jnp.float32:
         precision = lax.Precision.HIGHEST
+    # bf16 path: out dtype bf16 (MXU still accumulates f32 internally);
+    # upcasting via preferred_element_type would make the VJP cotangent f32
+    # and mismatch the bf16 filters in the transposed convs.
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding="VALID",
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
     return out + b.astype(out.dtype)

@@ -36,5 +36,5 @@ def linear(params: dict, x: jnp.ndarray, compute_dtype=None,
         w = w.astype(compute_dtype)
     if precision is None and x.dtype == jnp.float32:
         precision = jax.lax.Precision.HIGHEST
-    out = jnp.dot(x, w, precision=precision, preferred_element_type=jnp.float32)
+    out = jnp.dot(x, w, precision=precision)
     return out + b.astype(out.dtype)

@@ -1,0 +1,146 @@
+"""Training CLI — the reference's ``train`` binary (``cpu/src/cnn.cpp``).
+
+Same loop structure: stream train batches, every ``valid_iters`` run
+validation, every ``save_iters`` checkpoint with the accuracy-encoding
+filename and track the best-by-valid-accuracy model, finish with a test
+pass on the best checkpoint (``cnn.cpp:77-161``). Differences are the
+TPU-native ones: one jitted fused step, device-side preprocessing, batched
+validation, data-parallel mesh when multiple chips exist, and checkpoints
+that carry optimizer/RNG/step state.
+
+Usage: python -m cnn_tpu.tools.train [--total-iters N] [--batch-norm true] ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu.core.config import parse_configs
+from cnn_tpu import optim
+from cnn_tpu.data import DataLoader, discover_dataset, split_dataset
+from cnn_tpu.models import get_model
+from cnn_tpu.parallel import (create_train_state, make_eval_step,
+                              make_train_step, make_mesh, shard_train_state)
+from cnn_tpu.utils.checkpoint import (checkpoint_name, load_checkpoint,
+                                      save_checkpoint)
+from cnn_tpu.utils.metrics import ClassificationEvaluator, MeanLoss
+
+
+def evaluate(eval_step, params, state, loader) -> tuple[float, float]:
+    """Mean loss + accuracy over one epoch of ``loader``."""
+    ev = ClassificationEvaluator()
+    ml = MeanLoss()
+    for images, labels in loader:
+        m = eval_step(params, state, jnp.asarray(images), jnp.asarray(labels))
+        ev.add_counts(int(m["correct"]), len(labels))
+        ml.add(float(m["loss"]))
+    return ml.get(), ev.get()
+
+
+def main(argv=None):
+    model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
+
+    samples = discover_dataset(data_cfg.dataset_path, data_cfg.categories)
+    splits = split_dataset(samples, data_cfg.train_ratio, data_cfg.test_ratio,
+                           data_cfg.split_seed)
+    print(f"train  :  {len(splits['train'])}\n"
+          f"test   :  {len(splits['test'])}\n"
+          f"valid  :  {len(splits['valid'])}")
+
+    train_loader = DataLoader(splits["train"], train_cfg.train_batch_size,
+                              augment=data_cfg.augment, shuffle=True,
+                              image_size=data_cfg.image_size,
+                              seed=data_cfg.loader_seed,
+                              num_workers=data_cfg.num_workers,
+                              prefetch=data_cfg.prefetch,
+                              backend=data_cfg.backend)
+    valid_loader = DataLoader(splits["valid"], train_cfg.valid_batch_size,
+                              augment=False, shuffle=False,
+                              image_size=data_cfg.image_size,
+                              backend=data_cfg.backend)
+
+    model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
+                      batch_norm=model_cfg.batch_norm,
+                      dropout=model_cfg.dropout,
+                      image_size=model_cfg.image_size)
+    opt = optim.make_optimizer(train_cfg.optimizer, train_cfg.learning_rate,
+                               train_cfg.momentum)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 or train_cfg.model_parallel > 1:
+        mesh = make_mesh(train_cfg.data_parallel, train_cfg.model_parallel)
+        print(f"mesh: {dict(mesh.shape)}")
+
+    compute_dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else None
+    ts = create_train_state(model, opt, jax.random.key(train_cfg.seed))
+    if mesh is not None:
+        ts = shard_train_state(ts, mesh)
+
+    resume = train_cfg.resume
+    if resume and os.path.exists(resume):
+        ts = load_checkpoint(resume)
+        print(f"resumed from {resume} at step {int(ts.step)}")
+
+    step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
+                              mesh=mesh, donate=train_cfg.donate)
+    eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
+
+    os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
+    train_eval = ClassificationEvaluator()
+    mean_loss = MeanLoss()
+    best_acc, best_path = -1.0, None
+    t_start = time.perf_counter()
+    imgs_seen = 0
+
+    for it in range(train_cfg.start_iters, train_cfg.total_iters + 1):
+        images, labels = train_loader.generate_batch()
+        ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))
+        mean_loss.add(float(metrics["loss"]))
+        train_eval.add_counts(int(metrics["correct"]), len(labels))
+        imgs_seen += len(labels)
+
+        if it % 100 == 0 or it == train_cfg.total_iters:
+            dt = time.perf_counter() - t_start
+            print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
+                  f"[loss {mean_loss.get():.3f}] [Accuracy {train_eval.get():.3f}] "
+                  f"[{imgs_seen/dt:.1f} img/s]", end="", flush=True)
+
+        if it % train_cfg.valid_iters == 0:
+            print("\nvalidating...")
+            v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state, valid_loader)
+            print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
+            if it % train_cfg.save_iters == 0:
+                name = checkpoint_name(it, train_eval.get(), v_acc)
+                path = os.path.join(train_cfg.checkpoint_dir, name)
+                save_checkpoint(path, ts)
+                print(f"weights have been saved to {path}")
+                if v_acc > best_acc:
+                    best_acc, best_path = v_acc, path
+            mean_loss.clear()
+            train_eval.clear()
+            t_start = time.perf_counter()
+            imgs_seen = 0
+
+    train_loader.close()
+    print("\ntraining done!")
+
+    if best_path:
+        print(f"best checkpoint: {best_path} (valid acc {best_acc:.3f})")
+        ts = load_checkpoint(best_path)
+        test_loader = DataLoader(splits["test"], train_cfg.valid_batch_size,
+                                 augment=False, shuffle=False,
+                                 image_size=data_cfg.image_size)
+        t_loss, t_acc = evaluate(eval_fn, ts.params, ts.state, test_loader)
+        print(f"Test===> [loss {t_loss:.3f}] [Accuracy {t_acc:.3f}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
