@@ -1,0 +1,125 @@
+"""Benchmark suite — prints ONE JSON line for the driver.
+
+Headline metric: training throughput (images/sec/chip) of the flagship
+AlexNet at 224x224, measured the same way as the reference baseline
+(tools/reference_oracle/baseline_bench.cpp): fixed in-memory batch, full
+train step (fwd+bwd+SGD), steady state. ``vs_baseline`` divides by the
+measured reference number (30.5732 img/s on this host's CPU, BASELINE.md).
+
+Extra keys report the bf16/f32 split, single-image inference latency
+(dominated on this setup by the ~30 ms host<->TPU tunnel RPC per blocking
+fetch — device compute is ~1 ms), and the numerical-parity check.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TRAIN_IMGS_PER_SEC = 30.5732   # BASELINE.md, measured reference
+BASELINE_INFER_P50_MS = 29.91
+
+
+def measure_train(compute_dtype, batch_size: int, iters: int = 40,
+                  repeats: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    from cnn_tpu import optim
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.parallel import create_train_state, make_train_step
+
+    model = AlexNet(num_classes=3)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    step = make_train_step(model, opt, compute_dtype=compute_dtype)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch_size, 224, 224, 3), dtype=np.uint8))
+    y = jnp.asarray(np.arange(batch_size, dtype=np.int32) % 3)
+
+    ts, m = step(ts, x, y)
+    float(m["loss"])  # compile + sync
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ts, m = step(ts, x, y)
+        float(m["loss"])  # one blocking fetch per run
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * iters / dt)
+    return best
+
+
+def measure_infer_p50(n: int = 50) -> float:
+    import jax
+    import jax.numpy as jnp
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.parallel import make_forward
+
+    model = AlexNet(num_classes=3)
+    params, state = model.init(jax.random.key(0))
+    fwd = make_forward(model)
+    x = jnp.zeros((1, 224, 224, 3), jnp.uint8)
+    np.asarray(fwd(params, state, x))  # compile
+    lat = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(fwd(params, state, x))  # blocking fetch = honest latency
+        lat.append(time.perf_counter() - t0)
+    return 1e3 * float(np.percentile(lat, 50))
+
+
+def check_parity() -> float | None:
+    """Worst logit deviation vs the C++ reference fixtures (None if absent)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.utils.checkpoint import import_reference_model
+
+    fixture = "tests/fixtures/reference_parity.npz"
+    ckpt = ("/root/reference/cpu/checkpoints/AlexNet_aug_1e-3/"
+            "iter_395000_train_0.918_valid_0.913.model")
+    if not (os.path.exists(fixture) and os.path.exists(ckpt)):
+        return None
+    fx = np.load(fixture)
+    model = AlexNet(num_classes=3)
+    params, state = import_reference_model(ckpt, model.net)
+    apply = jax.jit(lambda p, s, x: model.apply(p, s, x)[0])
+    worst = 0.0
+    for stem in range(len(fx["names"])):
+        x = jnp.asarray(fx[f"image_u8_{stem}"][None]).astype(jnp.float32) / 255.0
+        logits = np.asarray(apply(params, state, x))[0]
+        worst = max(worst, float(np.abs(logits - fx[f"logits_{stem}"]).max()))
+    return worst
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    bf16 = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
+                         batch_size=1024)
+    f32 = measure_train(None, batch_size=256, iters=30)
+    infer_p50 = measure_infer_p50()
+    parity = check_parity()
+
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(bf16, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(bf16 / BASELINE_TRAIN_IMGS_PER_SEC, 1),
+        "backend": backend,
+        "train_images_per_sec_f32": round(f32, 1),
+        "infer_p50_ms": round(infer_p50, 2),
+        "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
+        "logit_parity_max_dev": parity if parity is None else float(f"{parity:.3g}"),
+        "baseline_train_images_per_sec_cpu": BASELINE_TRAIN_IMGS_PER_SEC,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

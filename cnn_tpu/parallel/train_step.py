@@ -127,22 +127,31 @@ def make_forward(model, *, compute_dtype=None):
 
 
 def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
-    """Place a TrainState onto the mesh.
+    """Place a TrainState onto the mesh (tensor parallelism over 'model').
 
-    Everything is replicated except parameters whose layer name starts with
-    'linear' and whose minor dim divides the 'model' axis — those shard over
-    'model' (tensor parallelism for the classifier head). With
-    ``model_parallel == 1`` this is pure replication (plain DP).
+    TP pattern for the conv->flatten->dense tail: the widest conv layer
+    shards its out-channels over 'model'; the dense layer that consumes the
+    flattened features shards its in-features over the same axis, so the
+    head matmul is a partial contraction that GSPMD finishes with a psum
+    over ICI. Everything else (small convs, biases, BN stats) replicates.
+    With ``model_parallel == 1`` this is pure replication (plain DP).
     """
     replicated = NamedSharding(mesh, P())
     model_dim = mesh.shape["model"]
 
     def leaf_sharding(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        if (model_dim > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 1
-                and leaf.shape[-1] % model_dim == 0
-                and any(n.startswith("linear") for n in names)):
-            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+        if model_dim <= 1 or not hasattr(leaf, "ndim"):
+            return replicated
+        is_linear = any(n.startswith("linear") for n in names)
+        is_conv = any(n.startswith("conv") for n in names)
+        is_w = names and names[-1] == "w"
+        if is_linear and is_w and leaf.ndim == 2 and leaf.shape[0] % model_dim == 0:
+            return NamedSharding(mesh, P("model", None))       # in-features
+        if is_conv and is_w and leaf.ndim == 4 and leaf.shape[-1] % model_dim == 0:
+            # shard out-channels of wide convs only (tiny convs replicate)
+            if leaf.shape[-1] >= 32 * model_dim:
+                return NamedSharding(mesh, P(None, None, None, "model"))
         return replicated
 
     def place(tree):

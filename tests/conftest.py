@@ -7,11 +7,18 @@ partitioner that runs on real ICI).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
+# The environment's sitecustomize imports jax at interpreter startup (before
+# conftest), so env vars alone are too late — update the live config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
