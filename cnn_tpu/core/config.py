@@ -62,6 +62,8 @@ class TrainConfig:
     save_iters: int = 5000          # checkpoint every N iters (cnn.cpp:71)
     checkpoint_dir: str = "checkpoints/alexnet"
     resume: str = ""                # path to a native .ckpt to resume from
+    history_path: str = ""          # JSONL training-history log (default: <ckpt_dir>/history.jsonl)
+    profile_dir: str = ""           # write a jax.profiler trace here (empty = off)
     optimizer: str = "sgd"          # 'sgd' matches reference; 'momentum'/'adam' are supersets
     momentum: float = 0.0
     seed: int = 212

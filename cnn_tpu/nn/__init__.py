@@ -1,8 +1,10 @@
 from cnn_tpu.nn.module import (  # noqa: F401
+    AvgPool2D,
     BatchNorm2D,
     Conv2D,
     Dropout,
     Flatten,
+    GlobalAvgPool,
     Layer,
     Linear,
     MaxPool2D,

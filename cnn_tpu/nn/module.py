@@ -48,11 +48,12 @@ class Layer:
 
 @dataclass(frozen=True)
 class Conv2D(Layer):
-    """VALID conv, NHWC/HWIO (reference: ``Conv2D``, conv2d.cpp)."""
+    """NHWC/HWIO conv (reference: ``Conv2D``, conv2d.cpp; padding=0 there)."""
     in_channels: int = 3
     out_channels: int = 16
     kernel_size: int = 3
     stride: int = 2
+    padding: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
@@ -62,12 +63,13 @@ class Conv2D(Layer):
                                self.kernel_size, dtype), None
 
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
-        return ops.conv2d(params, x, self.stride, compute_dtype), state
+        return ops.conv2d(params, x, self.stride, compute_dtype,
+                          padding=self.padding), state
 
     def out_shape(self, in_shape):
         h, w, _ = in_shape
-        return (ops.conv_out_size(h, self.kernel_size, self.stride),
-                ops.conv_out_size(w, self.kernel_size, self.stride),
+        return (ops.conv_out_size(h, self.kernel_size, self.stride, self.padding),
+                ops.conv_out_size(w, self.kernel_size, self.stride, self.padding),
                 self.out_channels)
 
 
@@ -84,6 +86,32 @@ class MaxPool2D(Layer):
         h, w, c = in_shape
         return (ops.conv_out_size(h, self.kernel_size, self.stride),
                 ops.conv_out_size(w, self.kernel_size, self.stride), c)
+
+
+@dataclass(frozen=True)
+class AvgPool2D(Layer):
+    """Average pooling — the reference's TODO #7 (cnn.cpp:21)."""
+    kernel_size: int = 2
+    stride: int = 2
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.avg_pool2d(x, self.kernel_size, self.stride), state
+
+    def out_shape(self, in_shape):
+        h, w, c = in_shape
+        return (ops.conv_out_size(h, self.kernel_size, self.stride),
+                ops.conv_out_size(w, self.kernel_size, self.stride), c)
+
+
+@dataclass(frozen=True)
+class GlobalAvgPool(Layer):
+    """Global spatial mean — the reference's TODO #7 'Global Pool'."""
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.global_avg_pool(x), state
+
+    def out_shape(self, in_shape):
+        return (in_shape[-1],)
 
 
 @dataclass(frozen=True)

@@ -48,8 +48,12 @@ def conv2d_init(key: jax.Array, in_channels: int, out_channels: int,
 
 
 def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
-           compute_dtype=None, precision=None) -> jnp.ndarray:
-    """VALID conv, NHWC. ``x``: [B, H, W, Cin] -> [B, H', W', Cout].
+           compute_dtype=None, precision=None, padding: int = 0) -> jnp.ndarray:
+    """NHWC conv: [B, H, W, Cin] -> [B, H', W', Cout].
+
+    ``padding=0`` is the reference behavior (its const at architectures.h:59;
+    padding support is its TODO #8, cnn.cpp:22) — symmetric zero padding is a
+    superset here.
 
     Precision: f32 inputs default to HIGHEST (full-f32 MXU passes — required
     for the <=1e-4 logit-parity target); bf16 inputs use the fast path.
@@ -66,7 +70,7 @@ def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
-        padding="VALID",
+        padding="VALID" if padding == 0 else [(padding, padding)] * 2,
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
     )

@@ -40,3 +40,20 @@ def max_pool2d(x: jnp.ndarray, kernel_size: int = 2, stride: int = 2) -> jnp.nda
         window_strides=(1, stride, stride, 1),
         padding="VALID",
     )
+
+
+def avg_pool2d(x: jnp.ndarray, kernel_size: int = 2, stride: int = 2) -> jnp.ndarray:
+    """NHWC average pooling, VALID — listed as future work in the reference
+    (cnn.cpp:21, TODO #7)."""
+    summed = lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add,
+        window_dimensions=(1, kernel_size, kernel_size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return (summed / (kernel_size * kernel_size)).astype(x.dtype)
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,C] spatial mean (reference TODO #7's 'Global Pool')."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)

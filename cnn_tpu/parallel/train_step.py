@@ -96,9 +96,15 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None):
 
     def step(params, state, images, labels):
         images = _prep(images, compute_dtype)
-        loss, (_, correct) = _loss_fn(params, state, model, images, labels,
-                                      None, False, compute_dtype)
-        return {"loss": loss, "correct": correct}
+        logits, _, _ = model.apply(params, state, images, train=False,
+                                   compute_dtype=compute_dtype)
+        logits = logits.astype(jnp.float32)
+        log_p = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+        pred = jnp.argmax(logits, axis=-1)
+        return {"loss": jnp.mean(nll),
+                "correct": jnp.sum((pred == labels).astype(jnp.int32)),
+                "pred": pred}
 
     if mesh is None:
         return jax.jit(step)

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +28,14 @@ from cnn_tpu.parallel import (create_train_state, make_eval_step,
                               make_train_step, make_mesh, shard_train_state)
 from cnn_tpu.utils.checkpoint import (checkpoint_name, load_checkpoint,
                                       save_checkpoint)
-from cnn_tpu.utils.metrics import ClassificationEvaluator, MeanLoss
+from cnn_tpu.utils.history import HistoryWriter
+from cnn_tpu.utils.metrics import (ClassificationEvaluator, ConfusionMatrix,
+                                   MeanLoss)
+from cnn_tpu.utils.profiling import StepTimer, trace
 
 
-def evaluate(eval_step, params, state, loader) -> tuple[float, float]:
+def evaluate(eval_step, params, state, loader,
+             confusion: ConfusionMatrix | None = None) -> tuple[float, float]:
     """Mean loss + accuracy over one epoch of ``loader``."""
     ev = ClassificationEvaluator()
     ml = MeanLoss()
@@ -40,6 +43,8 @@ def evaluate(eval_step, params, state, loader) -> tuple[float, float]:
         m = eval_step(params, state, jnp.asarray(images), jnp.asarray(labels))
         ev.add_counts(int(m["correct"]), len(labels))
         ml.add(float(m["loss"]))
+        if confusion is not None:
+            confusion.compute(np.asarray(m["pred"]), labels)
     return ml.get(), ev.get()
 
 
@@ -93,42 +98,47 @@ def main(argv=None):
     eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
+    history = HistoryWriter(train_cfg.history_path or
+                            os.path.join(train_cfg.checkpoint_dir, "history.jsonl"))
     train_eval = ClassificationEvaluator()
     mean_loss = MeanLoss()
     best_acc, best_path = -1.0, None
-    t_start = time.perf_counter()
-    imgs_seen = 0
+    timer = StepTimer()
 
-    for it in range(train_cfg.start_iters, train_cfg.total_iters + 1):
-        images, labels = train_loader.generate_batch()
-        ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))
-        mean_loss.add(float(metrics["loss"]))
-        train_eval.add_counts(int(metrics["correct"]), len(labels))
-        imgs_seen += len(labels)
+    with trace(train_cfg.profile_dir or None):
+        for it in range(train_cfg.start_iters, train_cfg.total_iters + 1):
+            images, labels = train_loader.generate_batch()
+            ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))
+            mean_loss.add(float(metrics["loss"]))
+            train_eval.add_counts(int(metrics["correct"]), len(labels))
+            timer.tick(len(labels))
 
-        if it % 100 == 0 or it == train_cfg.total_iters:
-            dt = time.perf_counter() - t_start
-            print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
-                  f"[loss {mean_loss.get():.3f}] [Accuracy {train_eval.get():.3f}] "
-                  f"[{imgs_seen/dt:.1f} img/s]", end="", flush=True)
+            if it % 100 == 0 or it == train_cfg.total_iters:
+                print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
+                      f"[loss {mean_loss.get():.3f}] [Accuracy {train_eval.get():.3f}] "
+                      f"[{timer.images_per_sec:.1f} img/s]", end="", flush=True)
 
-        if it % train_cfg.valid_iters == 0:
-            print("\nvalidating...")
-            v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state, valid_loader)
-            print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
-            if it % train_cfg.save_iters == 0:
-                name = checkpoint_name(it, train_eval.get(), v_acc)
-                path = os.path.join(train_cfg.checkpoint_dir, name)
-                save_checkpoint(path, ts)
-                print(f"weights have been saved to {path}")
-                if v_acc > best_acc:
-                    best_acc, best_path = v_acc, path
-            mean_loss.clear()
-            train_eval.clear()
-            t_start = time.perf_counter()
-            imgs_seen = 0
+            if it % train_cfg.valid_iters == 0:
+                print("\nvalidating...")
+                v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state, valid_loader)
+                print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
+                history.log(step=it, loss=mean_loss.get(),
+                            accuracy=train_eval.get(), valid_loss=v_loss,
+                            valid_accuracy=v_acc,
+                            images_per_sec=timer.images_per_sec)
+                if it % train_cfg.save_iters == 0:
+                    name = checkpoint_name(it, train_eval.get(), v_acc)
+                    path = os.path.join(train_cfg.checkpoint_dir, name)
+                    save_checkpoint(path, ts)
+                    print(f"weights have been saved to {path}")
+                    if v_acc > best_acc:
+                        best_acc, best_path = v_acc, path
+                mean_loss.clear()
+                train_eval.clear()
+                timer.reset()
 
     train_loader.close()
+    history.close()
     print("\ntraining done!")
 
     if best_path:
@@ -137,8 +147,12 @@ def main(argv=None):
         test_loader = DataLoader(splits["test"], train_cfg.valid_batch_size,
                                  augment=False, shuffle=False,
                                  image_size=data_cfg.image_size)
-        t_loss, t_acc = evaluate(eval_fn, ts.params, ts.state, test_loader)
+        confusion = ConfusionMatrix(model_cfg.num_classes)
+        t_loss, t_acc = evaluate(eval_fn, ts.params, ts.state, test_loader,
+                                 confusion)
         print(f"Test===> [loss {t_loss:.3f}] [Accuracy {t_acc:.3f}]")
+        print("confusion matrix (rows = truth):")
+        print(confusion.pretty(list(data_cfg.categories)))
     return 0
 
 

@@ -35,6 +35,44 @@ class ClassificationEvaluator:
         self.sample_num = 0
 
 
+class ConfusionMatrix:
+    """Streaming confusion matrix — listed as unimplemented in the
+    reference (cnn.cpp:24, TODO #9)."""
+
+    def __init__(self, num_classes: int):
+        import numpy as np
+        self.matrix = np.zeros((num_classes, num_classes), dtype=int)
+
+    def compute(self, predict, labels) -> None:
+        import numpy as np
+        predict = np.asarray(predict).ravel()
+        labels = np.asarray(labels).ravel()
+        np.add.at(self.matrix, (labels, predict), 1)
+
+    def get(self):
+        return self.matrix.copy()
+
+    def per_class_accuracy(self):
+        import numpy as np
+        totals = self.matrix.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acc = np.diag(self.matrix) / totals
+        return np.where(totals > 0, acc, 0.0)
+
+    def pretty(self, categories=None) -> str:
+        n = self.matrix.shape[0]
+        categories = categories or [str(i) for i in range(n)]
+        w = max(len(c) for c in categories) + 2
+        lines = [" " * w + "".join(f"{c:>{w}}" for c in categories) + "   (pred)"]
+        for i, c in enumerate(categories):
+            lines.append(f"{c:>{w}}" + "".join(
+                f"{int(v):>{w}}" for v in self.matrix[i]))
+        return "\n".join(lines)
+
+    def clear(self) -> None:
+        self.matrix[:] = 0
+
+
 class MeanLoss:
     def __init__(self):
         self.total = 0.0

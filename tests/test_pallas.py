@@ -1,0 +1,117 @@
+"""Pallas kernel correctness vs the XLA twins (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_tpu import ops
+from cnn_tpu.ops.pallas.conv import _forward as conv_forward
+from cnn_tpu.ops.pallas.normalize import uint8_normalize_pallas
+from cnn_tpu.ops.pallas.pool import _bwd_call, _fwd_call
+
+
+def test_normalize_matches_reference_division(rng):
+    x = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    out = uint8_normalize_pallas(jnp.asarray(x), interpret=True)
+    ref = x.astype(np.float32) / np.float32(255.0)
+    # interpret mode may fold /255 into a reciprocal multiply: 1-ulp slack
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1.3e-7, atol=0)
+
+
+def test_normalize_224(rng):
+    x = rng.integers(0, 256, (1, 224, 224, 3), dtype=np.uint8)
+    out = uint8_normalize_pallas(jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), x.astype(np.float32) / 255,
+                               rtol=1.3e-7, atol=0)
+
+
+def test_pool_forward_matches_xla(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16), dtype=np.float32))
+    out, mask = _fwd_call(x, interpret=True)
+    ref = ops.max_pool2d(x, 2, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert mask.shape == (2, 4, 4, 16)
+    assert int(mask.min()) >= 0 and int(mask.max()) <= 3
+
+
+def test_pool_odd_extent(rng):
+    """111x111 conv1 output: dangling row/col cropped like pool2d.cpp."""
+    x = jnp.asarray(rng.standard_normal((1, 7, 7, 8), dtype=np.float32))
+    out, _ = _fwd_call(x, interpret=True)
+    ref = ops.max_pool2d(x, 2, 2)
+    assert out.shape == (1, 3, 3, 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pool_backward_first_max_and_ties(rng):
+    x = np.zeros((1, 6, 6, 4), np.float32)
+    x[0, 4, 4, 0] = 1.0
+    x[0, 4, 5, 0] = 1.0   # tie -> first in row-major order
+    x[0, 2, 3, 1] = 5.0
+    xj = jnp.asarray(x)
+    out, mask = _fwd_call(xj, interpret=True)
+    g = jnp.ones_like(out)
+    dx = _bwd_call(mask, g, 6, 6, interpret=True)
+
+    # oracle: XLA select-and-scatter VJP (verified reference-parity already)
+    _, vjp = jax.vjp(lambda a: ops.max_pool2d(a, 2, 2), xj)
+    (ref_dx,) = vjp(g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+
+
+def test_pool_backward_odd_extent(rng):
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 8), dtype=np.float32))
+    out, mask = _fwd_call(x, interpret=True)
+    g = jnp.asarray(rng.standard_normal(out.shape, dtype=np.float32))
+    dx = _bwd_call(mask, g, 7, 9, interpret=True)
+    _, vjp = jax.vjp(lambda a: ops.max_pool2d(a, 2, 2), x)
+    (ref_dx,) = vjp(g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+
+
+@pytest.mark.parametrize("shape,cin,cout,k,stride", [
+    ((2, 17, 17, 3), 3, 8, 3, 2),
+    ((1, 13, 13, 16), 16, 32, 3, 2),
+    ((2, 9, 9, 4), 4, 8, 3, 1),
+    ((1, 15, 15, 2), 2, 4, 5, 2),
+])
+def test_conv_fused_matches_xla(rng, shape, cin, cout, k, stride):
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    params = ops.conv2d_init(jax.random.key(0), cin, cout, k)
+    out = conv_forward(x, params["w"], params["b"], stride, True, interpret=True)
+    ref = ops.relu(ops.conv2d(params, x, stride))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_fused_no_relu(rng):
+    x = jnp.asarray(rng.standard_normal((1, 9, 9, 3), dtype=np.float32))
+    params = ops.conv2d_init(jax.random.key(1), 3, 8, 3)
+    out = conv_forward(x, params["w"], params["b"], 2, False, interpret=True)
+    ref = ops.conv2d(params, x, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_fused_vjp_matches_xla(rng):
+    """Custom VJP (XLA transposed convs + relu mask) vs autodiff of the twin."""
+    from cnn_tpu.ops.pallas.conv import _vjp_bwd, _vjp_fwd
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 3), dtype=np.float32))
+    params = ops.conv2d_init(jax.random.key(2), 3, 8, 3)
+    w, b = params["w"], params["b"]
+
+    def ref_fn(x, w, b):
+        return ops.relu(ops.conv2d({"w": w, "b": b}, x, 2))
+
+    ref_out, ref_vjp = jax.vjp(ref_fn, x, w, b)
+    g = jnp.asarray(rng.standard_normal(ref_out.shape, dtype=np.float32))
+    ref_dx, ref_dw, ref_db = ref_vjp(g)
+
+    # use the XLA twin's forward output in residuals for a numerics-equal
+    # comparison (pallas fwd checked separately in interpret mode; compiling
+    # the Mosaic kernel itself needs a TPU)
+    dx, dw, db = _vjp_bwd(2, True, (x, w, ref_out), g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db), rtol=1e-4, atol=1e-5)
