@@ -40,6 +40,9 @@ class DataConfig:
     split_seed: int = 212       # reference: pipeline.cpp:96
     loader_seed: int = 212      # reference: pipeline.h:53
     augment: bool = True
+    device_augment: bool = False    # run augmentation on-device (ops/augment.py);
+                                    # the host then ships fixed canvases
+    canvas_size: int = 256          # host canvas size for device augmentation
     image_size: int = 224
     # 'bgr' matches the reference (cv::imread order, never swapped,
     # data_format.cpp:13-23); 'rgb' is the sane default for new models.
@@ -47,6 +50,7 @@ class DataConfig:
     prefetch: int = 4           # host->device prefetch depth (reference: none)
     num_workers: int = 2        # decode/augment worker threads (reference: single-thread)
     backend: str = "auto"       # 'auto' | 'native' (C++ loader) | 'python'
+    cache: bool = True          # decode-once RAM cache (dataset is ~2 GB decoded)
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,7 @@ class DataLoader:
                  image_size: int = 224, seed: int = 212,
                  num_workers: int = 2, prefetch: int = 4,
                  compat_fixed_epoch_shuffle: bool = False,
-                 backend: str = "python"):
+                 backend: str = "python", cache: bool = False):
         assert batch_size >= 1
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -52,6 +52,11 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.compat_fixed_epoch_shuffle = compat_fixed_epoch_shuffle
         self.augmentor = ImageAugmentor(seed=seed)
+        # decode-once RAM cache of original-resolution images (JPEG decode
+        # dominates host time; the dataset is ~2 GB decoded — nothing on a
+        # training host). The reference re-decodes every epoch.
+        self.cache = cache
+        self._cached: dict[str, np.ndarray] = {}
         self._native = None
         if backend in ("native", "auto"):
             try:
@@ -80,13 +85,18 @@ class DataLoader:
         return np.random.default_rng(s).permutation(len(self.samples))
 
     def _load_one(self, path: str, label: int, epoch: int, pos: int):
-        if self._native is not None and not self.augment:
-            img = self._native.load(path)
-            if img is not None:
-                return img, label
-        img = cv2.imread(path)  # BGR, like the reference
+        img = self._cached.get(path) if self.cache else None
         if img is None:
-            raise IOError(f"unreadable image: {path}")
+            if self._native is not None and not self.augment and not self.cache:
+                native = self._native.load(path)
+                if native is not None:
+                    return native, label
+            img = cv2.imread(path)  # BGR, like the reference
+            if img is None:
+                raise IOError(f"unreadable image: {path}")
+            if self.cache:
+                img.flags.writeable = False  # shared across epochs
+                self._cached[path] = img
         if self.augment:
             rng = np.random.default_rng((self.seed, epoch, pos))
             img = self.augmentor(img, rng)

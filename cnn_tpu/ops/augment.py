@@ -1,0 +1,118 @@
+"""Device-side batched image augmentation.
+
+The reference augments on the host, one image at a time, with OpenCV
+(``ImageAugmentor::make_augment``, pipeline.cpp:40-77) — at ~4-6 ms/image on
+one CPU core that caps training at a few hundred img/s. This module runs the
+same four ops (hflip p=.5, vflip p=.2, random crop p=.7 keep-ratio
+U[0.7,0.95], rotate p=.5 angle ±U[15,75]) as ONE fused affine resample per
+image on the TPU: all transforms compose into a single 3x3 coordinate
+matrix, applied with a bilinear gather (``map_coordinates``), batched with
+``vmap`` and fused into the train step under jit.
+
+Faithfulness notes vs the host path (which remains the bit-matched one,
+``data/augment.py``):
+- ops compose in a fixed order (flips -> crop -> rotate) rather than the
+  reference's shuffled order; with stochastic augmentation this changes no
+  marginal distribution users care about, only op-interaction details.
+- the reference's expand-canvas rotation followed by the final square
+  resize is emulated by rotating about the center and shrinking by the
+  expansion factor (cos|th| + sin|th| for a square), black-filling corners —
+  the same "whole image stays visible, squashed" visual semantics.
+- crop coordinates are drawn in canvas space (the reference draws them in
+  the current intermediate image's space).
+
+Input: uint8 (or float) [B, S, S, C] canvases; output float [B, out, out, C]
+in [0, 1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_for_sample(key, canvas: int, out_size: int,
+                       hflip_p: float, vflip_p: float,
+                       crop_p: float, rotate_p: float):
+    """3x3 matrix mapping output pixel coords -> canvas coords."""
+    k_h, k_v, k_c, k_cy, k_cx, k_r, k_ra, k_rs = jax.random.split(key, 8)
+    s = canvas
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    def mat(rows):
+        return jnp.asarray(rows, jnp.float32)
+
+    # base: output grid -> canvas (the final cv::resize in pipeline.cpp:159)
+    base = mat([[s / out_size, 0, 0], [0, s / out_size, 0], [0, 0, 1]])
+
+    # hflip: x -> S-1-x
+    hflip = jnp.where(jax.random.uniform(k_h) < hflip_p,
+                      mat([[1, 0, 0], [0, -1, s - 1], [0, 0, 1]]), eye)
+    vflip = jnp.where(jax.random.uniform(k_v) < vflip_p,
+                      mat([[-1, 0, s - 1], [0, 1, 0], [0, 0, 1]]), eye)
+
+    # crop: keep-ratio r = 0.7 + U(0, 0.25), uniform position
+    r = 0.7 + jax.random.uniform(k_c, minval=0.0, maxval=0.25)
+    ch = r * s
+    oy = jax.random.uniform(k_cy) * (s - ch)
+    ox = jax.random.uniform(k_cx) * (s - ch)
+    crop_m = mat([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    crop_m = jnp.stack([
+        jnp.stack([r, jnp.float32(0), oy]),
+        jnp.stack([jnp.float32(0), r, ox]),
+        jnp.stack([jnp.float32(0), jnp.float32(0), jnp.float32(1)]),
+    ])
+    crop = jnp.where(jax.random.uniform(k_r) < crop_p, crop_m, eye)
+
+    # rotate: angle U(15, 75) deg, random sign; expand-emulation scale
+    ang = jax.random.uniform(k_ra, minval=15.0, maxval=75.0)
+    ang = jnp.where(jax.random.uniform(k_rs) < 0.5, -ang, ang) * jnp.pi / 180.0
+    f = jnp.abs(jnp.cos(ang)) + jnp.abs(jnp.sin(ang))   # square expansion
+    c = (s - 1) / 2.0
+    cos, sin = jnp.cos(ang) * f, jnp.sin(ang) * f       # inverse map incl. 1/f shrink
+    rot_m = jnp.stack([
+        jnp.stack([cos, -sin, c - cos * c + sin * c]),
+        jnp.stack([sin, cos, c - sin * c - cos * c]),
+        jnp.stack([jnp.float32(0), jnp.float32(0), jnp.float32(1)]),
+    ])
+    do_rot = jax.random.uniform(jax.random.fold_in(k_r, 1)) < rotate_p
+    rot = jnp.where(do_rot, rot_m, eye)
+
+    # output coord -> base -> flips -> crop -> rotate (canvas space)
+    return rot @ crop @ vflip @ hflip @ base
+
+
+def _sample_one(img, matrix, out_size: int):
+    """Bilinear-resample one [S,S,C] image through a 3x3 coord matrix."""
+    yy = jnp.arange(out_size, dtype=jnp.float32)
+    xx = jnp.arange(out_size, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
+    ones = jnp.ones_like(gy)
+    coords = jnp.stack([gy, gx, ones])                       # [3, H, W]
+    src = jnp.einsum("ij,jhw->ihw", matrix, coords)          # [3, H, W]
+    sy, sx = src[0], src[1]
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [sy, sx], order=1, mode="constant", cval=0.0)
+
+    return jax.vmap(sample_channel, in_axes=-1, out_axes=-1)(img)
+
+
+@partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
+                                   "crop_p", "rotate_p"))
+def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
+                  hflip_p: float = 0.5, vflip_p: float = 0.2,
+                  crop_p: float = 0.7, rotate_p: float = 0.5) -> jnp.ndarray:
+    """[B,S,S,C] uint8/float canvases -> [B,out,out,C] f32 in [0,1]."""
+    b, s, s2, _ = images.shape
+    assert s == s2, "square canvases expected"
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    keys = jax.random.split(rng, b)
+    mats = jax.vmap(lambda k: _affine_for_sample(
+        k, s, out_size, hflip_p, vflip_p, crop_p, rotate_p))(keys)
+    return jax.vmap(lambda im, m: _sample_one(im, m, out_size))(x, mats)

@@ -60,16 +60,26 @@ def _prep(images, compute_dtype):
 
 
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    augment_fn=None):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
     [B] int32. ``metrics``: dict(loss f32, correct i32).
+
+    ``augment_fn(rng, images) -> images`` runs on-device inside the step
+    (e.g. ``ops.augment.augment_batch`` — the TPU-native replacement for the
+    reference's host-side per-image OpenCV augmentation).
     """
 
     def step(ts: TrainState, images, labels):
-        images = _prep(images, compute_dtype)
         rng = jax.random.fold_in(ts.rng, ts.step)
+        if augment_fn is not None:
+            images = augment_fn(jax.random.fold_in(rng, 7), images)
+            if compute_dtype is not None:
+                images = images.astype(compute_dtype)
+        else:
+            images = _prep(images, compute_dtype)
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (new_state, correct)), grads = grad_fn(
             ts.params, ts.state, model, images, labels, rng, True, compute_dtype)

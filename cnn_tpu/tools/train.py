@@ -58,17 +58,20 @@ def main(argv=None):
           f"test   :  {len(splits['test'])}\n"
           f"valid  :  {len(splits['valid'])}")
 
+    device_augment = data_cfg.device_augment and data_cfg.augment
     train_loader = DataLoader(splits["train"], train_cfg.train_batch_size,
-                              augment=data_cfg.augment, shuffle=True,
-                              image_size=data_cfg.image_size,
+                              augment=data_cfg.augment and not device_augment,
+                              shuffle=True,
+                              image_size=(data_cfg.canvas_size if device_augment
+                                          else data_cfg.image_size),
                               seed=data_cfg.loader_seed,
                               num_workers=data_cfg.num_workers,
                               prefetch=data_cfg.prefetch,
-                              backend=data_cfg.backend)
+                              backend=data_cfg.backend, cache=data_cfg.cache)
     valid_loader = DataLoader(splits["valid"], train_cfg.valid_batch_size,
                               augment=False, shuffle=False,
                               image_size=data_cfg.image_size,
-                              backend=data_cfg.backend)
+                              backend=data_cfg.backend, cache=data_cfg.cache)
 
     model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                       batch_norm=model_cfg.batch_norm,
@@ -93,8 +96,17 @@ def main(argv=None):
         ts = load_checkpoint(resume)
         print(f"resumed from {resume} at step {int(ts.step)}")
 
+    augment_fn = None
+    if device_augment:
+        from cnn_tpu.ops.augment import augment_batch
+
+        def augment_fn(rng, images):
+            return augment_batch(rng, images, out_size=data_cfg.image_size)
+        print("augmentation: on-device (fused into the train step)")
+
     step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
-                              mesh=mesh, donate=train_cfg.donate)
+                              mesh=mesh, donate=train_cfg.donate,
+                              augment_fn=augment_fn)
     eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
