@@ -33,6 +33,8 @@ import numpy as np
 from cnn_tpu.data.augment import ImageAugmentor
 from cnn_tpu.data.dataset import Sample
 
+_PRODUCER_ERROR = object()  # queue sentinel: producer thread died
+
 
 class DataLoader:
     def __init__(self, samples: Sequence[Sample], batch_size: int = 4,
@@ -68,6 +70,7 @@ class DataLoader:
         self._queue: Optional[queue.Queue] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -107,25 +110,35 @@ class DataLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         epoch = 0
         try:
-            while not self._stop.is_set():
-                order = self._epoch_order(epoch)
-                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                    idxs = order[start:start + self.batch_size]
-                    futs = [pool.submit(self._load_one, *self.samples[i], epoch, int(i))
-                            for i in idxs]
-                    imgs, labels = zip(*[f.result() for f in futs])
-                    batch = (np.stack(imgs), np.asarray(labels, np.int32))
-                    while not self._stop.is_set():
-                        try:
-                            self._queue.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if self._stop.is_set():
-                        return
-                epoch += 1
+            self._produce_loop(pool, epoch)
+        except BaseException as e:  # surface errors to the consumer — a
+            # silently-dead producer would hang generate_batch forever
+            self._error = e
+            try:
+                self._queue.put(_PRODUCER_ERROR, timeout=0.5)
+            except queue.Full:
+                pass
         finally:
             pool.shutdown(wait=False)
+
+    def _produce_loop(self, pool, epoch):
+        while not self._stop.is_set():
+            order = self._epoch_order(epoch)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idxs = order[start:start + self.batch_size]
+                futs = [pool.submit(self._load_one, *self.samples[i], epoch, int(i))
+                        for i in idxs]
+                imgs, labels = zip(*[f.result() for f in futs])
+                batch = (np.stack(imgs), np.asarray(labels, np.int32))
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            epoch += 1
 
     def _ensure_started(self):
         if self._thread is None:
@@ -140,7 +153,10 @@ class DataLoader:
         """Next (uint8 [B,H,W,C] batch, int32 [B] labels); infinite stream
         (epoch-wrapping), like the reference's ``generate_batch``."""
         self._ensure_started()
-        return self._queue.get()
+        item = self._queue.get()
+        if item is _PRODUCER_ERROR:
+            raise RuntimeError("data producer failed") from self._error
+        return item
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """One epoch, sequentially (no background thread) — for eval loops."""

@@ -111,3 +111,10 @@ def test_native_loader_matches_cv2():
     batch = nl.load_batch([path, path], num_threads=2)
     np.testing.assert_array_equal(batch[0], ref)
     assert nl.load("/nonexistent.jpg") is None
+
+
+def test_stream_raises_on_unreadable_image_instead_of_hanging():
+    loader = DataLoader([("/nonexistent/img.jpg", 0)] * 4, batch_size=2)
+    with pytest.raises(RuntimeError, match="data producer failed"):
+        loader.generate_batch()
+    loader.close()
