@@ -42,9 +42,20 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
                       step=jnp.zeros((), jnp.int32), rng=k_train)
 
 
-def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype):
-    logits, new_state, _ = model.apply(params, state, images, train=train,
-                                       rng=rng, compute_dtype=compute_dtype)
+def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
+             remat=False):
+    apply = model.apply
+    if remat:
+        # rematerialize activations in the backward pass (trade FLOPs for
+        # HBM) — lets batch sizes scale past activation-memory limits
+        apply = jax.checkpoint(
+            lambda p, s, x: model.apply(p, s, x, train=train, rng=rng,
+                                        compute_dtype=compute_dtype),
+            static_argnums=())
+        logits, new_state, _ = apply(params, state, images)
+    else:
+        logits, new_state, _ = apply(params, state, images, train=train,
+                                     rng=rng, compute_dtype=compute_dtype)
     logits = logits.astype(jnp.float32)
     log_p = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
@@ -61,7 +72,7 @@ def _prep(images, compute_dtype):
 
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
-                    augment_fn=None):
+                    augment_fn=None, remat: bool = False):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
@@ -82,7 +93,8 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
             images = _prep(images, compute_dtype)
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (new_state, correct)), grads = grad_fn(
-            ts.params, ts.state, model, images, labels, rng, True, compute_dtype)
+            ts.params, ts.state, model, images, labels, rng, True,
+            compute_dtype, remat)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}

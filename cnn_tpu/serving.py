@@ -1,0 +1,90 @@
+"""Production inference engine.
+
+The reference's inference path recompiles nothing (it's interpreted C++),
+but pays full model cost per image on the CPU (~30 ms, BASELINE.md). Here:
+an AOT-compiled engine with static shape buckets — requests of any batch
+size are padded up to the nearest compiled bucket (XLA requires static
+shapes; compiling per odd size would stall serving), executed in one
+launch, and the padding discarded. Weights live on-device once.
+
+Usage:
+    engine = InferenceEngine(model, params, state, buckets=(1, 8, 64))
+    engine.warmup()
+    labels, probs = engine.predict(images_uint8)   # [N,H,W,C] BGR uint8
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceEngine:
+    def __init__(self, model, params, state, buckets=(1, 8, 64),
+                 compute_dtype=None):
+        self.model = model
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
+        self.buckets = tuple(sorted(buckets))
+        self.compute_dtype = compute_dtype
+        self._compiled: dict[int, object] = {}
+
+    def _fn(self):
+        model, compute_dtype = self.model, self.compute_dtype
+
+        def forward(params, state, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            logits, _, _ = model.apply(params, state, x, train=False,
+                                       compute_dtype=compute_dtype)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        return forward
+
+    def _get_compiled(self, bucket: int):
+        if bucket not in self._compiled:
+            s = self.model.image_size
+            example = jax.ShapeDtypeStruct((bucket, s, s, 3), jnp.uint8)
+            lowered = jax.jit(self._fn()).lower(self.params, self.state, example)
+            self._compiled[bucket] = lowered.compile()
+        return self._compiled[bucket]
+
+    def warmup(self) -> None:
+        """AOT-compile every bucket up front (first compile is ~20-40 s)."""
+        for b in self.buckets:
+            self._get_compiled(b)
+
+    def predict(self, images_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """[N,H,W,3] uint8 -> (labels [N] int, probs [N,C] f32)."""
+        n = images_u8.shape[0]
+        assert n >= 1
+        idx = bisect.bisect_left(self.buckets, n)
+        labels_out, probs_out = [], []
+        pos = 0
+        if idx >= len(self.buckets):           # larger than the top bucket:
+            top = self.buckets[-1]             # stream full top-sized chunks
+            while n - pos >= top:
+                l, p = self._run(self.buckets[-1], images_u8[pos:pos + top])
+                labels_out.append(l)
+                probs_out.append(p)
+                pos += top
+        if pos < n:                            # remainder -> smallest bucket >= rem
+            rem = n - pos
+            b = self.buckets[min(bisect.bisect_left(self.buckets, rem),
+                                 len(self.buckets) - 1)]
+            l, p = self._run(b, images_u8[pos:])
+            labels_out.append(l[:rem])
+            probs_out.append(p[:rem])
+        return (np.concatenate(labels_out), np.concatenate(probs_out))
+
+    def _run(self, bucket: int, chunk: np.ndarray):
+        rem = chunk.shape[0]
+        if rem < bucket:
+            pad = np.zeros((bucket - rem, *chunk.shape[1:]), chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        compiled = self._get_compiled(bucket)
+        labels, probs = compiled(self.params, self.state, jnp.asarray(chunk))
+        return np.asarray(labels)[:rem], np.asarray(probs)[:rem]

@@ -1,0 +1,65 @@
+"""InferenceEngine tests (AOT buckets, padding, chunking) + remat step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu import optim
+from cnn_tpu.models import AlexNet
+from cnn_tpu.parallel import create_train_state, make_train_step
+from cnn_tpu.serving import InferenceEngine
+
+
+def _engine(buckets=(1, 4)):
+    model = AlexNet(num_classes=3, image_size=32)
+    params, state = model.init(jax.random.key(0))
+    return InferenceEngine(model, params, state, buckets=buckets), model
+
+
+def test_predict_shapes_and_padding(rng):
+    engine, _ = _engine()
+    engine.warmup()
+    for n in (1, 2, 3, 4, 5, 9):
+        imgs = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        labels, probs = engine.predict(imgs)
+        assert labels.shape == (n,)
+        assert probs.shape == (n, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_padding_does_not_change_results(rng):
+    engine, model = _engine(buckets=(4,))
+    imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    labels, probs = engine.predict(imgs)
+    # reference result straight through the model
+    x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    logits, _, _ = model.apply(engine.params, engine.state, x)
+    ref = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_large_batch_chunks(rng):
+    engine, _ = _engine(buckets=(1, 4))
+    imgs = rng.integers(0, 256, (11, 32, 32, 3), dtype=np.uint8)
+    labels, probs = engine.predict(imgs)
+    assert labels.shape == (11,)
+    # element-wise equal to one-at-a-time prediction
+    solo = np.concatenate([engine.predict(imgs[i:i + 1])[0] for i in range(11)])
+    np.testing.assert_array_equal(labels, solo)
+
+
+def test_remat_train_step_matches_plain(rng):
+    model = AlexNet(num_classes=3, image_size=32)
+    opt = optim.sgd(1e-2)
+    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    y = jnp.arange(4, dtype=jnp.int32) % 3
+
+    ts1 = create_train_state(model, opt, jax.random.key(1))
+    ts2 = create_train_state(model, opt, jax.random.key(1))
+    out1, m1 = make_train_step(model, opt, donate=False)(ts1, x, y)
+    out2, m2 = make_train_step(model, opt, donate=False, remat=True)(ts2, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out1.params),
+                    jax.tree_util.tree_leaves(out2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
