@@ -70,10 +70,14 @@ class TrainConfig:
     profile_dir: str = ""           # write a jax.profiler trace here (empty = off)
     optimizer: str = "sgd"          # 'sgd' matches reference; 'momentum'/'adam' are supersets
     momentum: float = 0.0
+    lr_schedule: str = "constant"   # constant | cosine | step (reference: constant)
+    warmup_steps: int = 0
     seed: int = 212
     # parallelism: number of data-parallel shards ('auto' = all local devices)
     data_parallel: int = 0          # 0 = auto
     model_parallel: int = 1
+    multihost: bool = False         # jax.distributed.initialize() for multi-host
+                                    # slices (same SPMD code; DCN joins the mesh)
     donate: bool = True
 
 

@@ -88,6 +88,11 @@ class DataLoader:
         return np.random.default_rng(s).permutation(len(self.samples))
 
     def _load_one(self, path: str, label: int, epoch: int, pos: int):
+        # Without host augmentation the resized image is deterministic, so
+        # cache it post-resize (epochs become pure memcpy); with host
+        # augmentation cache the decoded original (augment ops act on the
+        # full-resolution image before the final resize, pipeline.cpp:155-159).
+        cache_resized = self.cache and not self.augment
         img = self._cached.get(path) if self.cache else None
         if img is None:
             if self._native is not None and not self.augment and not self.cache:
@@ -97,9 +102,13 @@ class DataLoader:
             img = cv2.imread(path)  # BGR, like the reference
             if img is None:
                 raise IOError(f"unreadable image: {path}")
+            if cache_resized:
+                img = cv2.resize(img, (self.image_size, self.image_size))
             if self.cache:
                 img.flags.writeable = False  # shared across epochs
                 self._cached[path] = img
+        if cache_resized:
+            return img, label
         if self.augment:
             rng = np.random.default_rng((self.seed, epoch, pos))
             img = self.augmentor(img, rng)

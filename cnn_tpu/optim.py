@@ -47,11 +47,37 @@ def from_optax(tx: optax.GradientTransformation) -> Optimizer:
     return Optimizer(init, update)
 
 
-def make_optimizer(name: str, learning_rate: float, momentum: float = 0.0) -> Optimizer:
+def make_schedule(learning_rate: float, schedule: str = "constant",
+                  total_steps: int = 0, warmup_steps: int = 0):
+    """LR schedule factory (the reference has a single constant lr)."""
+    if schedule == "constant" and warmup_steps == 0:
+        return learning_rate
+    if schedule == "constant":
+        return optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    assert total_steps > 0, f"schedule '{schedule}' needs total_steps"
+    if schedule == "cosine":
+        if warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, warmup_steps, total_steps)
+        return optax.cosine_decay_schedule(learning_rate, total_steps)
+    if schedule == "step":
+        # /10 at 60% and 85% of training — the classic staircase
+        return optax.piecewise_constant_schedule(
+            learning_rate, {int(total_steps * 0.6): 0.1,
+                            int(total_steps * 0.85): 0.1})
+    raise ValueError(f"unknown schedule '{schedule}'")
+
+
+def make_optimizer(name: str, learning_rate: float, momentum: float = 0.0,
+                   schedule: str = "constant", total_steps: int = 0,
+                   warmup_steps: int = 0) -> Optimizer:
+    lr = make_schedule(learning_rate, schedule, total_steps, warmup_steps)
+    if name == "sgd" and momentum == 0.0 and isinstance(lr, float):
+        return sgd(lr)
     if name == "sgd" and momentum == 0.0:
-        return sgd(learning_rate)
+        return from_optax(optax.sgd(lr))
     if name in ("sgd", "momentum"):
-        return from_optax(optax.sgd(learning_rate, momentum=momentum or 0.9))
+        return from_optax(optax.sgd(lr, momentum=momentum or 0.9))
     if name == "adam":
-        return from_optax(optax.adam(learning_rate))
+        return from_optax(optax.adam(lr))
     raise ValueError(f"unknown optimizer '{name}'")

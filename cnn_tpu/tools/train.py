@@ -51,6 +51,13 @@ def evaluate(eval_step, params, state, loader,
 def main(argv=None):
     model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
 
+    if train_cfg.multihost:
+        # multi-host SPMD: every host runs this same program; the mesh spans
+        # all hosts' devices and XLA routes collectives over ICI/DCN. Each
+        # host feeds only its addressable shard of the global batch.
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+
     samples = discover_dataset(data_cfg.dataset_path, data_cfg.categories)
     splits = split_dataset(samples, data_cfg.train_ratio, data_cfg.test_ratio,
                            data_cfg.split_seed)
@@ -78,7 +85,10 @@ def main(argv=None):
                       dropout=model_cfg.dropout,
                       image_size=model_cfg.image_size)
     opt = optim.make_optimizer(train_cfg.optimizer, train_cfg.learning_rate,
-                               train_cfg.momentum)
+                               train_cfg.momentum,
+                               schedule=train_cfg.lr_schedule,
+                               total_steps=train_cfg.total_iters,
+                               warmup_steps=train_cfg.warmup_steps)
 
     n_dev = len(jax.devices())
     mesh = None
@@ -92,6 +102,12 @@ def main(argv=None):
         ts = shard_train_state(ts, mesh)
 
     resume = train_cfg.resume
+    if resume == "auto":
+        # resume from the newest checkpoint in checkpoint_dir, if any
+        import glob as _glob
+        cks = sorted(_glob.glob(os.path.join(train_cfg.checkpoint_dir, "*.ckpt")),
+                     key=os.path.getmtime)
+        resume = cks[-1] if cks else ""
     if resume and os.path.exists(resume):
         ts = load_checkpoint(resume)
         print(f"resumed from {resume} at step {int(ts.step)}")

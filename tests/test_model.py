@@ -148,3 +148,25 @@ def test_checkpoint_names():
     name = checkpoint_name(5000, 0.761, 0.803)
     assert name == "iter_5000_train_0.761_valid_0.803.ckpt"
     assert parse_checkpoint_name(name) == (5000, 0.761, 0.803)
+
+
+def test_lr_schedules():
+    from cnn_tpu import optim as _optim
+    for sched in ("constant", "cosine", "step"):
+        opt = _optim.make_optimizer("momentum", 1e-2, 0.9, schedule=sched,
+                                    total_steps=100)
+        model = AlexNet(num_classes=3, image_size=32)
+        ts = create_train_state(model, opt, jax.random.key(0))
+        step = make_train_step(model, opt, donate=False)
+        ts, m = step(ts, jnp.zeros((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+        assert np.isfinite(float(m["loss"]))
+    # warmup: first step must apply ~zero lr
+    opt = _optim.make_optimizer("sgd", 1e-2, schedule="constant",
+                                warmup_steps=10)
+    model = AlexNet(num_classes=3, image_size=32)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    before = np.asarray(ts.params["linear_1"]["w"]).copy()
+    step = make_train_step(model, opt, donate=False)
+    ts2, _ = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ts2.params["linear_1"]["w"]), before,
+                               atol=1e-7)
