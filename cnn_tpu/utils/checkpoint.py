@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

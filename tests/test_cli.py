@@ -1,0 +1,97 @@
+"""CLI-level tests (run the actual tool mains on the CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+CKPT = ("/root/reference/cpu/checkpoints/AlexNet_aug_1e-3/"
+        "iter_395000_train_0.918_valid_0.913.model")
+IMAGES = "/root/reference/datasets/images"
+
+needs_reference = pytest.mark.skipif(not os.path.exists(CKPT),
+                                     reason="reference unavailable")
+
+
+@needs_reference
+def test_infer_cli(capsys):
+    from cnn_tpu.tools import infer
+    rc = infer.main([f"{IMAGES}/dog.jpg", f"{IMAGES}/panda.jpg",
+                     "--checkpoint", CKPT])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "classification: dog" in out
+    assert "classification: panda" in out
+
+
+@needs_reference
+def test_infer_cli_unreadable_image(capsys):
+    from cnn_tpu.tools import infer
+    rc = infer.main(["/nonexistent.jpg", "--checkpoint", CKPT])
+    assert rc == 0  # graceful skip, like inference.cpp:56-59
+    assert "Failed to read image file" in capsys.readouterr().out
+
+
+@needs_reference
+def test_gradcam_cli(tmp_path, capsys):
+    from cnn_tpu.tools import gradcam
+    rc = gradcam.main([f"{IMAGES}/dog.jpg", "--checkpoint", CKPT,
+                       "--output-dir", str(tmp_path), "--mode", "reference"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "0.png"))
+
+
+@needs_reference
+def test_convert_cli_roundtrip(tmp_path):
+    from cnn_tpu.tools import convert
+    src = ("/root/reference/cpu/checkpoints/AlexNet/"
+           "iter_5000_train_0.761_valid_0.803.model")
+    ck = os.path.join(tmp_path, "x.ckpt")
+    back = os.path.join(tmp_path, "x.model")
+    assert convert.main([src, ck]) == 0
+    assert convert.main([ck, back]) == 0
+    a = np.fromfile(src, "<f4")
+    b = np.fromfile(back, "<f4")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_train_cli_smoke(tmp_path, capsys):
+    """Few tiny iterations end-to-end through the real main()."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--total-iters", "4", "--valid-iters", "2",
+                     "--save-iters", "2", "--train-batch-size", "4",
+                     "--valid-batch-size", "32",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--augment", "false", "--cache", "true",
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "training done!" in out
+    assert "confusion matrix" in out
+    assert os.path.exists(os.path.join(tmp_path, "history.jsonl"))
+
+
+def test_plot_cli(tmp_path, capsys):
+    from cnn_tpu.tools import plot
+    from cnn_tpu.utils.history import HistoryWriter
+    hist = os.path.join(tmp_path, "h.jsonl")
+    w = HistoryWriter(hist)
+    for i in range(3):
+        w.log(step=i, loss=1.0 - 0.1 * i, accuracy=0.3 * i)
+    w.close()
+    rc = plot.main([hist, "--out", os.path.join(tmp_path, "h.png"),
+                    "--keys", "loss,accuracy"])
+    assert rc == 0
+
+
+@needs_reference
+def test_make_gif_cli(tmp_path, capsys):
+    import cv2
+    from cnn_tpu.tools import make_gif
+    for i in range(3):
+        cv2.imwrite(os.path.join(tmp_path, f"{i}.png"),
+                    np.full((10, 10, 3), i * 80, np.uint8))
+    out_gif = os.path.join(tmp_path, "out.gif")
+    rc = make_gif.main([str(tmp_path), out_gif, "--fps", "2"])
+    assert rc == 0
+    assert os.path.getsize(out_gif) > 0

@@ -8,7 +8,6 @@ batchnorm2d.cpp / dropout.cpp / func.cpp) — the tests the reference never had.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cnn_tpu import ops
 

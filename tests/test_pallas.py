@@ -96,7 +96,7 @@ def test_conv_fused_no_relu(rng):
 
 def test_conv_fused_vjp_matches_xla(rng):
     """Custom VJP (XLA transposed convs + relu mask) vs autodiff of the twin."""
-    from cnn_tpu.ops.pallas.conv import _vjp_bwd, _vjp_fwd
+    from cnn_tpu.ops.pallas.conv import _vjp_bwd
     x = jnp.asarray(rng.standard_normal((2, 9, 9, 3), dtype=np.float32))
     params = ops.conv2d_init(jax.random.key(2), 3, 8, 3)
     w, b = params["w"], params["b"]

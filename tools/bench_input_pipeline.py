@@ -23,7 +23,7 @@ def sync(x):
 
 def main():
     from cnn_tpu import optim
-    from cnn_tpu.data import DataLoader, discover_dataset, split_dataset
+    from cnn_tpu.data import DataLoader, discover_dataset
     from cnn_tpu.models import AlexNet
     from cnn_tpu.ops.augment import augment_batch
     from cnn_tpu.parallel import create_train_state, make_train_step
