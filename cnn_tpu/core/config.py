@@ -51,6 +51,9 @@ class DataConfig:
     num_workers: int = 2        # decode/augment worker threads (reference: single-thread)
     backend: str = "auto"       # 'auto' | 'native' (C++ loader) | 'python'
     cache: bool = True          # decode-once RAM cache (dataset is ~2 GB decoded)
+    device_dataset: bool = False  # pin the whole dataset in HBM; sample batches
+                                  # on-device (zero steady-state host traffic)
+    augment_mode: str = "fast"  # 'fast' (flips+crop, gather-free) | 'full' (+rotate)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,103 @@
+"""Device-resident dataset: train with ZERO steady-state host traffic.
+
+Motivation (measured, tools/bench_input_pipeline.py): on this setup the
+host->device link moves a 64-image uint8 batch in ~0.5 s while the train
+step itself takes ~4 ms — transfer-bound by 100x. The whole 3-class dataset
+is only ~0.5 GB as fixed-size uint8 canvases, so the TPU-native answer is to
+upload it to HBM once and run *everything* on-device: per-step batch
+sampling (uniform with replacement, `jax.random.randint` + `jnp.take`),
+augmentation (ops/augment.py), normalization, and the train step — one
+fused XLA program, no host in the loop.
+
+The reference's equivalent is its per-sample host pipeline
+(pipeline.cpp:112-164) which re-decodes every image every epoch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu.data.loader import DataLoader
+
+
+class DeviceDataset:
+    """Decode once on the host, pin (images, labels) in HBM, sample on-device."""
+
+    def __init__(self, samples, image_size: int = 256, num_workers: int = 4,
+                 sharding=None):
+        loader = DataLoader(samples, batch_size=1, augment=False,
+                            shuffle=False, image_size=image_size,
+                            num_workers=num_workers, cache=False)
+        imgs = np.empty((len(samples), image_size, image_size, 3), np.uint8)
+        lbls = np.empty((len(samples),), np.int32)
+        for i, (img, lbl) in enumerate(loader):
+            imgs[i] = img[0]
+            lbls[i] = lbl[0]
+        self.images = (jax.device_put(imgs, sharding) if sharding is not None
+                       else jax.device_put(imgs))
+        self.labels = jax.device_put(lbls)
+        self.n = len(samples)
+        self.image_size = image_size
+
+    def sample(self, rng: jax.Array, batch_size: int):
+        """On-device uniform sampling with replacement (call under jit)."""
+        idx = jax.random.randint(rng, (batch_size,), 0, self.n)
+        return jnp.take(self.images, idx, axis=0), jnp.take(self.labels, idx, axis=0)
+
+    def epoch_batches(self, batch_size: int):
+        """Sequential full-epoch iteration (for eval): yields device slices."""
+        for start in range(0, self.n - batch_size + 1, batch_size):
+            yield (jax.lax.dynamic_slice_in_dim(self.images, start, batch_size),
+                   self.labels[start:start + batch_size])
+        rem = self.n % batch_size
+        if rem:
+            yield self.images[self.n - rem:], self.labels[self.n - rem:]
+
+
+def make_device_train_step(model, optimizer, dataset: DeviceDataset,
+                           batch_size: int, *, compute_dtype=None,
+                           augment_fn=None, donate: bool = True):
+    """Fully on-device train step: sampling + augment + fwd/bwd/update.
+
+    Returns jitted ``(ts) -> (ts, metrics)`` closed over the resident
+    dataset arrays (they are captured as constants-by-reference; XLA keeps
+    them in HBM without copies).
+    """
+    from cnn_tpu.parallel.train_step import TrainState, _loss_fn
+    from cnn_tpu.ops.preprocess import uint8_to_float
+
+    n = dataset.n
+
+    # NOTE: the resident arrays are jit ARGUMENTS, not closure captures — a
+    # captured array would be constant-folded into the HLO and shipped to
+    # the compiler (473 MB program...). As arguments they stay pinned in
+    # HBM and the executable just reads them.
+    def step(ts: TrainState, images_ref, labels_ref):
+        rng = jax.random.fold_in(ts.rng, ts.step)
+        k_sample, k_aug, k_model = jax.random.split(rng, 3)
+        idx = jax.random.randint(k_sample, (batch_size,), 0, n)
+        images = jnp.take(images_ref, idx, axis=0)
+        labels = jnp.take(labels_ref, idx, axis=0)
+        if augment_fn is not None:
+            images = augment_fn(k_aug, images)
+            if compute_dtype is not None:
+                images = images.astype(compute_dtype)
+        else:
+            images = uint8_to_float(images, compute_dtype or jnp.float32)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (new_state, correct)), grads = grad_fn(
+            ts.params, ts.state, model, images, labels, k_model, True,
+            compute_dtype)
+        new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
+        return new_ts, {"loss": loss, "correct": correct,
+                        "batch": jnp.int32(batch_size)}
+
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def run(ts: TrainState):
+        return jitted(ts, dataset.images, dataset.labels)
+
+    return run

@@ -102,6 +102,44 @@ def _sample_one(img, matrix, out_size: int):
 
 
 @partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
+                                   "crop_p"))
+def augment_batch_fast(rng: jax.Array, images: jnp.ndarray,
+                       out_size: int = 224, hflip_p: float = 0.5,
+                       vflip_p: float = 0.2, crop_p: float = 0.7) -> jnp.ndarray:
+    """Gather-free augmentation: flips + random-resized-crop only.
+
+    ``map_coordinates`` (the rotation path in ``augment_batch``) lowers to
+    per-pixel gathers that serialize on the TPU (~144 ms for a 64-batch,
+    measured); this variant uses array reversals and
+    ``jax.image.scale_and_translate`` (separable weighted sums -> MXU/VPU
+    friendly) and is the recommended default for long training runs. Drops
+    the reference's rotate op (p=.5, pipeline.h:34); flips/crop match.
+    """
+    b, s, s2, _ = images.shape
+    assert s == s2
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+
+    def one(img, key):
+        k_h, k_v, k_c, k_cy, k_cx, k_do = jax.random.split(key, 6)
+        img = jnp.where(jax.random.uniform(k_h) < hflip_p, img[:, ::-1], img)
+        img = jnp.where(jax.random.uniform(k_v) < vflip_p, img[::-1], img)
+        r = jnp.where(jax.random.uniform(k_do) < crop_p,
+                      0.7 + jax.random.uniform(k_c) * 0.25, 1.0)
+        oy = jax.random.uniform(k_cy) * (1.0 - r) * s
+        ox = jax.random.uniform(k_cx) * (1.0 - r) * s
+        scale = out_size / (r * s)
+        return jax.image.scale_and_translate(
+            img, (out_size, out_size, img.shape[-1]), (0, 1),
+            jnp.stack([scale, scale]),
+            jnp.stack([-oy * scale, -ox * scale]),
+            method="linear")
+
+    return jax.vmap(one)(x, jax.random.split(rng, b))
+
+
+@partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
                                    "crop_p", "rotate_p"))
 def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
                   hflip_p: float = 0.5, vflip_p: float = 0.2,

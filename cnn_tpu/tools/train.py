@@ -48,6 +48,18 @@ def evaluate(eval_step, params, state, loader,
     return ml.get(), ev.get()
 
 
+def evaluate_device(eval_step, params, state, device_ds,
+                    batch_size: int) -> tuple[float, float]:
+    """Eval over a DeviceDataset (data already resident in HBM)."""
+    ev = ClassificationEvaluator()
+    ml = MeanLoss()
+    for images, labels in device_ds.epoch_batches(batch_size):
+        m = eval_step(params, state, images, labels)
+        ev.add_counts(int(m["correct"]), int(labels.shape[0]))
+        ml.add(float(m["loss"]))
+    return ml.get(), ev.get()
+
+
 def main(argv=None):
     model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
 
@@ -66,19 +78,21 @@ def main(argv=None):
           f"valid  :  {len(splits['valid'])}")
 
     device_augment = data_cfg.device_augment and data_cfg.augment
-    train_loader = DataLoader(splits["train"], train_cfg.train_batch_size,
-                              augment=data_cfg.augment and not device_augment,
-                              shuffle=True,
-                              image_size=(data_cfg.canvas_size if device_augment
-                                          else data_cfg.image_size),
-                              seed=data_cfg.loader_seed,
-                              num_workers=data_cfg.num_workers,
-                              prefetch=data_cfg.prefetch,
-                              backend=data_cfg.backend, cache=data_cfg.cache)
-    valid_loader = DataLoader(splits["valid"], train_cfg.valid_batch_size,
-                              augment=False, shuffle=False,
-                              image_size=data_cfg.image_size,
-                              backend=data_cfg.backend, cache=data_cfg.cache)
+    train_loader = valid_loader = None
+    if not data_cfg.device_dataset:
+        train_loader = DataLoader(splits["train"], train_cfg.train_batch_size,
+                                  augment=data_cfg.augment and not device_augment,
+                                  shuffle=True,
+                                  image_size=(data_cfg.canvas_size if device_augment
+                                              else data_cfg.image_size),
+                                  seed=data_cfg.loader_seed,
+                                  num_workers=data_cfg.num_workers,
+                                  prefetch=data_cfg.prefetch,
+                                  backend=data_cfg.backend, cache=data_cfg.cache)
+        valid_loader = DataLoader(splits["valid"], train_cfg.valid_batch_size,
+                                  augment=False, shuffle=False,
+                                  image_size=data_cfg.image_size,
+                                  backend=data_cfg.backend, cache=data_cfg.cache)
 
     model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                       batch_norm=model_cfg.batch_norm,
@@ -113,16 +127,34 @@ def main(argv=None):
         print(f"resumed from {resume} at step {int(ts.step)}")
 
     augment_fn = None
-    if device_augment:
-        from cnn_tpu.ops.augment import augment_batch
+    if device_augment or data_cfg.device_dataset:
+        from cnn_tpu.ops.augment import augment_batch, augment_batch_fast
+        aug = augment_batch_fast if data_cfg.augment_mode == "fast" else augment_batch
 
-        def augment_fn(rng, images):
-            return augment_batch(rng, images, out_size=data_cfg.image_size)
-        print("augmentation: on-device (fused into the train step)")
+        if data_cfg.augment:
+            def augment_fn(rng, images):
+                return aug(rng, images, out_size=data_cfg.image_size)
+            print(f"augmentation: on-device '{data_cfg.augment_mode}' "
+                  "(fused into the train step)")
 
-    step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
-                              mesh=mesh, donate=train_cfg.donate,
-                              augment_fn=augment_fn)
+    device_train_ds = device_valid_ds = None
+    if data_cfg.device_dataset:
+        from cnn_tpu.data.device_dataset import (DeviceDataset,
+                                                 make_device_train_step)
+        canvas = data_cfg.canvas_size if data_cfg.augment else data_cfg.image_size
+        print(f"uploading dataset to device (canvas {canvas}px)...")
+        device_train_ds = DeviceDataset(splits["train"], canvas,
+                                        data_cfg.num_workers)
+        device_valid_ds = DeviceDataset(splits["valid"], data_cfg.image_size,
+                                        data_cfg.num_workers)
+        step_fn = make_device_train_step(
+            model, opt, device_train_ds, train_cfg.train_batch_size,
+            compute_dtype=compute_dtype, augment_fn=augment_fn,
+            donate=train_cfg.donate)
+    else:
+        step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
+                                  mesh=mesh, donate=train_cfg.donate,
+                                  augment_fn=augment_fn)
     eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
@@ -133,13 +165,26 @@ def main(argv=None):
     best_acc, best_path = -1.0, None
     timer = StepTimer()
 
+    device_mode = device_train_ds is not None
+    bs = train_cfg.train_batch_size
     with trace(train_cfg.profile_dir or None):
         for it in range(train_cfg.start_iters, train_cfg.total_iters + 1):
-            images, labels = train_loader.generate_batch()
-            ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))
-            mean_loss.add(float(metrics["loss"]))
-            train_eval.add_counts(int(metrics["correct"]), len(labels))
-            timer.tick(len(labels))
+            if device_mode:
+                # fully on-device step: no host data, no per-step fetch (each
+                # blocking fetch costs a ~30 ms tunnel RPC — metrics are
+                # sampled at the logging cadence instead)
+                ts, metrics = step_fn(ts)
+                timer.tick(bs)
+                if (it % 100 == 0 or it == train_cfg.total_iters
+                        or it % train_cfg.valid_iters == 0):
+                    mean_loss.add(float(metrics["loss"]))
+                    train_eval.add_counts(int(metrics["correct"]), bs)
+            else:
+                images, labels = train_loader.generate_batch()
+                ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))
+                mean_loss.add(float(metrics["loss"]))
+                train_eval.add_counts(int(metrics["correct"]), len(labels))
+                timer.tick(len(labels))
 
             if it % 100 == 0 or it == train_cfg.total_iters:
                 print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
@@ -148,7 +193,13 @@ def main(argv=None):
 
             if it % train_cfg.valid_iters == 0:
                 print("\nvalidating...")
-                v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state, valid_loader)
+                if device_mode:
+                    v_loss, v_acc = evaluate_device(eval_fn, ts.params, ts.state,
+                                                    device_valid_ds,
+                                                    train_cfg.valid_batch_size)
+                else:
+                    v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state,
+                                             valid_loader)
                 print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
                 history.log(step=it, loss=mean_loss.get(),
                             accuracy=train_eval.get(), valid_loss=v_loss,
@@ -165,7 +216,8 @@ def main(argv=None):
                 train_eval.clear()
                 timer.reset()
 
-    train_loader.close()
+    if train_loader is not None:
+        train_loader.close()
     history.close()
     print("\ntraining done!")
 

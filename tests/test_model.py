@@ -170,3 +170,19 @@ def test_lr_schedules():
     ts2, _ = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
     np.testing.assert_allclose(np.asarray(ts2.params["linear_1"]["w"]), before,
                                atol=1e-7)
+
+
+def test_vgg_family():
+    from cnn_tpu.models import get_model
+    model = get_model("vgg8", num_classes=3, image_size=64)
+    params, state = model.init(jax.random.key(0))
+    assert "bn_1" in state  # BN on by default
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    logits, new_state, _ = model.apply(params, state, x, train=True)
+    assert logits.shape == (2, 3)
+    # trains through the shared machinery
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(1))
+    step = make_train_step(model, opt)
+    ts, m = step(ts, jnp.zeros((2, 64, 64, 3), jnp.uint8), jnp.zeros(2, jnp.int32))
+    assert np.isfinite(float(m["loss"]))
