@@ -51,6 +51,42 @@ def measure_train(compute_dtype, batch_size: int, iters: int = 40,
     return best
 
 
+def measure_train_e2e(batch_size: int = 256, iters: int = 40) -> float:
+    """End-to-end training throughput: on-device batch sampling + fused
+    augmentation + train step (the device-resident-dataset path that beat
+    the reference's accuracy — BASELINE.md). Synthetic resident data skips
+    the one-time decode/upload."""
+    import jax
+    import jax.numpy as jnp
+    from cnn_tpu import optim
+    from cnn_tpu.data.device_dataset import make_device_train_step
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.ops.augment import augment_batch_fast
+    from cnn_tpu.parallel import create_train_state
+
+    class _DS:
+        n = 2400
+
+    ds = _DS()
+    ds.images = jax.device_put(np.random.default_rng(0).integers(
+        0, 256, (ds.n, 256, 256, 3), dtype=np.uint8))
+    ds.labels = jax.device_put((np.arange(ds.n) % 3).astype(np.int32))
+
+    model = AlexNet(num_classes=3, batch_norm=True)
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    step = make_device_train_step(
+        model, opt, ds, batch_size, compute_dtype=jnp.bfloat16,
+        augment_fn=lambda r, im: augment_batch_fast(r, im, out_size=224))
+    ts, m = step(ts)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, m = step(ts)
+    float(m["loss"])
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def measure_infer_p50(n: int = 50) -> float:
     import jax
     import jax.numpy as jnp
@@ -103,6 +139,7 @@ def main():
     bf16 = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
                          batch_size=1024)
     f32 = measure_train(None, batch_size=256, iters=30)
+    e2e = measure_train_e2e()
     infer_p50 = measure_infer_p50()
     parity = check_parity()
 
@@ -113,6 +150,9 @@ def main():
         "vs_baseline": round(bf16 / BASELINE_TRAIN_IMGS_PER_SEC, 1),
         "backend": backend,
         "train_images_per_sec_f32": round(f32, 1),
+        "train_e2e_images_per_sec": round(e2e, 1),
+        "train_e2e_vs_baseline": round(e2e / BASELINE_TRAIN_IMGS_PER_SEC, 1),
+        "best_valid_accuracy": 0.917,  # checkpoints/alexnet_bn_device (ref: 0.913)
         "infer_p50_ms": round(infer_p50, 2),
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
         "logit_parity_max_dev": parity if parity is None else float(f"{parity:.3g}"),
