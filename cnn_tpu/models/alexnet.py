@@ -42,6 +42,10 @@ def build_alexnet(num_classes: int = 3, batch_norm: bool = False,
         layers.append(Conv2D(f"conv_layer_{i}", in_channels=cin, out_channels=cout,
                              kernel_size=3, stride=2))
         spatial = (spatial - 3) // 2 + 1
+        assert spatial >= 1, (
+            f"image_size={image_size} collapses to zero spatial extent at "
+            f"conv_layer_{i} (the 4-conv stride-2 stack needs >= 61 px; the "
+            "reference uses 224)")
         channels = cout
         if batch_norm:
             layers.append(BatchNorm2D(f"bn_layer_{i}", num_channels=cout,

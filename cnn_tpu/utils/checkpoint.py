@@ -39,9 +39,8 @@ from cnn_tpu.nn.sequential import Sequential
 # ---------------------------------------------------------------- native ----
 
 
-def save_checkpoint(path: str, train_state) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
+def _payload(train_state) -> dict:
+    return {
         "params": jax.tree_util.tree_map(np.asarray, train_state.params),
         "state": jax.tree_util.tree_map(np.asarray, train_state.state),
         "opt_state": jax.tree_util.tree_map(np.asarray, train_state.opt_state),
@@ -49,6 +48,18 @@ def save_checkpoint(path: str, train_state) -> None:
         "rng": np.asarray(jax.random.key_data(train_state.rng)),
         "format_version": 1,
     }
+
+
+def save_checkpoint(path: str, train_state, backend: str = "pickle") -> None:
+    """backend='pickle' writes one file; 'orbax' writes a directory
+    (sharding-aware, async-capable — the idiomatic JAX store)."""
+    payload = _payload(train_state)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), payload, force=True)
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)
@@ -56,17 +67,21 @@ def save_checkpoint(path: str, train_state) -> None:
 
 
 def load_checkpoint(path: str, train_state=None):
-    """Returns a TrainState (template's types preserved where given)."""
+    """Returns a TrainState; auto-detects pickle file vs orbax directory."""
     from cnn_tpu.parallel.train_step import TrainState
 
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    else:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
     to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     return TrainState(
         params=to_jnp(payload["params"]),
         state=to_jnp(payload["state"]),
         opt_state=to_jnp(payload["opt_state"]),
-        step=jnp.asarray(payload["step"], jnp.int32),
+        step=jnp.asarray(int(payload["step"]), jnp.int32),
         rng=jax.random.wrap_key_data(jnp.asarray(payload["rng"])),
     )
 

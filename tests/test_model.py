@@ -57,15 +57,15 @@ def test_registry():
 
 def test_train_step_learns(rng):
     """A few SGD steps on a separable toy problem must reduce loss."""
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
     ts = create_train_state(model, opt, jax.random.key(0))
     step = make_train_step(model, opt)
 
     # three classes with distinct mean intensities
     labels = np.array([0, 1, 2, 0, 1, 2], np.int32)
-    images = np.stack([np.full((32, 32, 3), 0.1 + 0.4 * l, np.float32)
-                       + rng.standard_normal((32, 32, 3)).astype(np.float32) * 0.01
+    images = np.stack([np.full((64, 64, 3), 0.1 + 0.4 * l, np.float32)
+                       + rng.standard_normal((64, 64, 3)).astype(np.float32) * 0.01
                        for l in labels])
     first_loss = None
     for _ in range(30):
@@ -77,34 +77,34 @@ def test_train_step_learns(rng):
 
 
 def test_train_step_uint8_input():
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-3)
     ts = create_train_state(model, opt, jax.random.key(1))
     step = make_train_step(model, opt)
-    images = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    images = jnp.zeros((2, 64, 64, 3), jnp.uint8)
     labels = jnp.zeros((2,), jnp.int32)
     ts, metrics = step(ts, images, labels)
     assert np.isfinite(float(metrics["loss"]))
 
 
 def test_eval_and_forward():
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-3)
     ts = create_train_state(model, opt, jax.random.key(2))
     ev = make_eval_step(model)
-    metrics = ev(ts.params, ts.state, jnp.zeros((4, 32, 32, 3)), jnp.zeros(4, jnp.int32))
+    metrics = ev(ts.params, ts.state, jnp.zeros((4, 64, 64, 3)), jnp.zeros(4, jnp.int32))
     assert 0 <= int(metrics["correct"]) <= 4
     fwd = make_forward(model)
-    probs = fwd(ts.params, ts.state, jnp.zeros((1, 32, 32, 3)))
+    probs = fwd(ts.params, ts.state, jnp.zeros((1, 64, 64, 3)))
     np.testing.assert_allclose(np.asarray(probs).sum(), 1.0, rtol=1e-5)
 
 
 def test_bn_dropout_model_runs():
-    model = AlexNet(num_classes=3, image_size=32, batch_norm=True, dropout=0.4)
+    model = AlexNet(num_classes=3, image_size=64, batch_norm=True, dropout=0.4)
     opt = optim.sgd(1e-3)
     ts = create_train_state(model, opt, jax.random.key(3))
     step = make_train_step(model, opt)
-    x = jnp.ones((4, 32, 32, 3)) * 0.5
+    x = jnp.ones((4, 64, 64, 3)) * 0.5
     y = jnp.zeros(4, jnp.int32)
     before = np.asarray(ts.state["bn_layer_1"]["mean"]).copy()  # read pre-donation
     ts2, m = step(ts, x, y)
@@ -116,20 +116,20 @@ def test_bn_dropout_model_runs():
 
 def test_optimizers():
     for name in ("sgd", "momentum", "adam"):
-        model = AlexNet(num_classes=3, image_size=32)
+        model = AlexNet(num_classes=3, image_size=64)
         opt = optim.make_optimizer(name, 1e-3)
         ts = create_train_state(model, opt, jax.random.key(4))
         step = make_train_step(model, opt)
-        ts, m = step(ts, jnp.zeros((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+        ts, m = step(ts, jnp.zeros((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
         assert np.isfinite(float(m["loss"]))
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-3)
     ts = create_train_state(model, opt, jax.random.key(5))
     step = make_train_step(model, opt, donate=False)
-    ts, _ = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    ts, _ = step(ts, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
 
     path = os.path.join(tmp_path, "ck.ckpt")
     save_checkpoint(path, ts)
@@ -139,8 +139,8 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(ts2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # resumed training continues identically
-    ts_a, m_a = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
-    ts_b, m_b = step(ts2, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    ts_a, m_a = step(ts, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
+    ts_b, m_b = step(ts2, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
 
 
@@ -155,19 +155,19 @@ def test_lr_schedules():
     for sched in ("constant", "cosine", "step"):
         opt = _optim.make_optimizer("momentum", 1e-2, 0.9, schedule=sched,
                                     total_steps=100)
-        model = AlexNet(num_classes=3, image_size=32)
+        model = AlexNet(num_classes=3, image_size=64)
         ts = create_train_state(model, opt, jax.random.key(0))
         step = make_train_step(model, opt, donate=False)
-        ts, m = step(ts, jnp.zeros((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+        ts, m = step(ts, jnp.zeros((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
         assert np.isfinite(float(m["loss"]))
     # warmup: first step must apply ~zero lr
     opt = _optim.make_optimizer("sgd", 1e-2, schedule="constant",
                                 warmup_steps=10)
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     ts = create_train_state(model, opt, jax.random.key(0))
     before = np.asarray(ts.params["linear_1"]["w"]).copy()
     step = make_train_step(model, opt, donate=False)
-    ts2, _ = step(ts, jnp.ones((2, 32, 32, 3)), jnp.zeros(2, jnp.int32))
+    ts2, _ = step(ts, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
     np.testing.assert_allclose(np.asarray(ts2.params["linear_1"]["w"]), before,
                                atol=1e-7)
 
@@ -186,3 +186,30 @@ def test_vgg_family():
     step = make_train_step(model, opt)
     ts, m = step(ts, jnp.zeros((2, 64, 64, 3), jnp.uint8), jnp.zeros(2, jnp.int32))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.sgd(1e-3)
+    ts = create_train_state(model, opt, jax.random.key(7))
+    path = os.path.join(tmp_path, "orbax_ck")
+    save_checkpoint(path, ts, backend="orbax")
+    assert os.path.isdir(path)
+    ts2 = load_checkpoint(path)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ts2.step) == 0
+
+
+def test_tensor_utility_ops(rng):
+    from cnn_tpu.ops import tensor as T
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 3), dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(T.div(x, 2.0)), np.asarray(x) / 2)
+    r = np.asarray(T.rot180(x))
+    np.testing.assert_array_equal(r, np.asarray(x)[:, ::-1, ::-1, :])
+    p = T.pad2d(x, 2)
+    assert p.shape == (2, 8, 10, 3)
+    np.testing.assert_array_equal(np.asarray(p[:, :2]), 0)
+    mm = np.asarray(T.minmax_normalize(x))
+    assert mm.min() == 0.0 and mm.max() == 1.0

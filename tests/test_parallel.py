@@ -26,11 +26,11 @@ def test_make_mesh_shapes():
 
 def test_dp_train_step_on_mesh():
     mesh = make_mesh(8, 1)
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
     ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
     step = make_train_step(model, opt, mesh=mesh, donate=False)
-    x = jnp.zeros((16, 32, 32, 3), jnp.uint8)
+    x = jnp.zeros((16, 64, 64, 3), jnp.uint8)
     y = jnp.arange(16, dtype=jnp.int32) % 3
     ts, m = step(ts, x, y)
     assert np.isfinite(float(m["loss"]))
@@ -39,9 +39,9 @@ def test_dp_train_step_on_mesh():
 
 def test_dp_matches_single_device():
     """Gradient reduction over the mesh must equal the unsharded step."""
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    x = jnp.asarray(np.random.default_rng(0).random((8, 32, 32, 3)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 64, 64, 3)), jnp.float32)
     y = jnp.arange(8, dtype=jnp.int32) % 3
 
     ts1 = create_train_state(model, opt, jax.random.key(1))
@@ -61,7 +61,7 @@ def test_dp_matches_single_device():
 
 def test_tp_shards_head_params():
     mesh = make_mesh(4, 2)
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
     ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
     # conv4 out-channels and linear in-features shard over 'model'
@@ -71,15 +71,15 @@ def test_tp_shards_head_params():
     assert "model" in str(w_lin.sharding.spec)
     # and a sharded train step still runs + stays finite
     step = make_train_step(model, opt, mesh=mesh, donate=False)
-    ts, m = step(ts, jnp.zeros((8, 32, 32, 3), jnp.uint8),
+    ts, m = step(ts, jnp.zeros((8, 64, 64, 3), jnp.uint8),
                  jnp.arange(8, dtype=jnp.int32) % 3)
     assert np.isfinite(float(m["loss"]))
 
 
 def test_tp_matches_single_device():
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    x = jnp.asarray(np.random.default_rng(1).random((8, 32, 32, 3)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).random((8, 64, 64, 3)), jnp.float32)
     y = jnp.arange(8, dtype=jnp.int32) % 3
 
     ts1 = create_train_state(model, opt, jax.random.key(2))
@@ -97,11 +97,11 @@ def test_tp_matches_single_device():
 
 def test_eval_step_on_mesh():
     mesh = make_mesh(8, 1)
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
     ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
     ev = make_eval_step(model, mesh=mesh)
-    m = ev(ts.params, ts.state, jnp.zeros((16, 32, 32, 3), jnp.uint8),
+    m = ev(ts.params, ts.state, jnp.zeros((16, 64, 64, 3), jnp.uint8),
            jnp.zeros(16, jnp.int32))
     assert np.isfinite(float(m["loss"]))
 

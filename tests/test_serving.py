@@ -11,7 +11,7 @@ from cnn_tpu.serving import InferenceEngine
 
 
 def _engine(buckets=(1, 4)):
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     params, state = model.init(jax.random.key(0))
     return InferenceEngine(model, params, state, buckets=buckets), model
 
@@ -20,7 +20,7 @@ def test_predict_shapes_and_padding(rng):
     engine, _ = _engine()
     engine.warmup()
     for n in (1, 2, 3, 4, 5, 9):
-        imgs = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+        imgs = rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8)
         labels, probs = engine.predict(imgs)
         assert labels.shape == (n,)
         assert probs.shape == (n, 3)
@@ -29,7 +29,7 @@ def test_predict_shapes_and_padding(rng):
 
 def test_padding_does_not_change_results(rng):
     engine, model = _engine(buckets=(4,))
-    imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
     labels, probs = engine.predict(imgs)
     # reference result straight through the model
     x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
@@ -40,7 +40,7 @@ def test_padding_does_not_change_results(rng):
 
 def test_large_batch_chunks(rng):
     engine, _ = _engine(buckets=(1, 4))
-    imgs = rng.integers(0, 256, (11, 32, 32, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (11, 64, 64, 3), dtype=np.uint8)
     labels, probs = engine.predict(imgs)
     assert labels.shape == (11,)
     # element-wise equal to one-at-a-time prediction
@@ -49,9 +49,9 @@ def test_large_batch_chunks(rng):
 
 
 def test_remat_train_step_matches_plain(rng):
-    model = AlexNet(num_classes=3, image_size=32)
+    model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    x = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    x = jnp.asarray(rng.random((4, 64, 64, 3)), jnp.float32)
     y = jnp.arange(4, dtype=jnp.int32) % 3
 
     ts1 = create_train_state(model, opt, jax.random.key(1))
