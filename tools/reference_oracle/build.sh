@@ -19,3 +19,5 @@ LIB_SRC="$REF/src/data_format.cpp $REF/src/architectures.cpp $REF/src/func.cpp \
 g++ $CXXFLAGS /root/repo/tools/reference_oracle/fixture_gen.cpp $LIB_SRC -o "$OUT/fixture_gen" $LDFLAGS
 g++ $CXXFLAGS /root/repo/tools/reference_oracle/baseline_bench.cpp $LIB_SRC -o "$OUT/baseline_bench" $LDFLAGS
 echo "built: $OUT/{fixture_gen,baseline_bench}"
+g++ $CXXFLAGS /root/repo/tools/reference_oracle/layer_dump.cpp $LIB_SRC -o "$OUT/layer_dump" $LDFLAGS
+echo "built: $OUT/layer_dump"
