@@ -109,11 +109,13 @@ def main(argv=None):
     ap.add_argument("--mode", default="gradcam", choices=["gradcam", "reference"])
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--output-dir", default="output")
+    ap.add_argument("--batch-norm", action="store_true",
+                    help="checkpoint was trained with BatchNorm layers")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
     model = get_model("alexnet", num_classes=len(categories),
-                      image_size=args.image_size)
+                      image_size=args.image_size, batch_norm=args.batch_norm)
     params, state = load_params(args.checkpoint, model)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -45,12 +45,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=DEFAULT_CKPT)
     ap.add_argument("--categories", default="dog,panda,bird")
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--batch-norm", action="store_true",
+                    help="checkpoint was trained with BatchNorm layers")
     ap.add_argument("--bench", action="store_true", help="report p50 latency")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
     model = get_model("alexnet", num_classes=len(categories),
-                      image_size=args.image_size)
+                      image_size=args.image_size, batch_norm=args.batch_norm)
     params, state = load_params(args.checkpoint, model)
     fwd = make_forward(model)
 

@@ -95,3 +95,18 @@ def test_make_gif_cli(tmp_path, capsys):
     rc = make_gif.main([str(tmp_path), out_gif, "--fps", "2"])
     assert rc == 0
     assert os.path.getsize(out_gif) > 0
+
+
+def test_train_cli_auto_resume(tmp_path, capsys):
+    """Preemption recovery: second invocation resumes from the newest ckpt."""
+    from cnn_tpu.tools import train
+    args = ["--train-batch-size", "4", "--valid-batch-size", "32",
+            "--checkpoint-dir", str(tmp_path), "--augment", "false",
+            "--cache", "true", "--num-workers", "2",
+            "--valid-iters", "2", "--save-iters", "2"]
+    assert train.main(args + ["--total-iters", "2"]) == 0
+    capsys.readouterr()
+    assert train.main(args + ["--total-iters", "4", "--resume", "auto",
+                              "--start-iters", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 2" in out
