@@ -115,7 +115,8 @@ def check_parity() -> float | None:
     from cnn_tpu.models import AlexNet
     from cnn_tpu.utils.checkpoint import import_reference_model
 
-    fixture = "tests/fixtures/reference_parity.npz"
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures", "reference_parity.npz")
     ckpt = ("/root/reference/cpu/checkpoints/AlexNet_aug_1e-3/"
             "iter_395000_train_0.918_valid_0.913.model")
     if not (os.path.exists(fixture) and os.path.exists(ckpt)):

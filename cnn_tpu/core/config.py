@@ -75,6 +75,8 @@ class TrainConfig:
     momentum: float = 0.0
     lr_schedule: str = "constant"   # constant | cosine | step (reference: constant)
     warmup_steps: int = 0
+    weight_decay: float = 0.0       # superset (reference: none)
+    label_smoothing: float = 0.0    # superset (reference: hard one-hots)
     seed: int = 212
     # parallelism: number of data-parallel shards ('auto' = all local devices)
     data_parallel: int = 0          # 0 = auto

@@ -58,7 +58,8 @@ class DeviceDataset:
 
 def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            batch_size: int, *, compute_dtype=None,
-                           augment_fn=None, donate: bool = True):
+                           augment_fn=None, donate: bool = True,
+                           label_smoothing: float = 0.0):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
     Returns jitted ``(ts) -> (ts, metrics)`` closed over the resident
@@ -89,7 +90,7 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (new_state, correct)), grads = grad_fn(
             ts.params, ts.state, model, images, labels, k_model, True,
-            compute_dtype)
+            compute_dtype, False, label_smoothing)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,

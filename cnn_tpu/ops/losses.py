@@ -25,17 +25,21 @@ def one_hot(labels: jnp.ndarray, num_classes: int, dtype=jnp.float32) -> jnp.nda
     return jax.nn.one_hot(labels, num_classes, dtype=dtype)
 
 
-def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                          label_smoothing: float = 0.0) -> jnp.ndarray:
     """Batch-mean softmax CE. ``labels``: int [B] or one-hot [B, C].
 
     Gradient wrt logits is ``(softmax(logits) - y) / B`` — composed with the
     per-layer math this yields exactly the reference's parameter gradients
-    (see module docstring).
+    (see module docstring). ``label_smoothing`` is a superset (reference
+    trains on hard one-hots only, func.cpp:40-53).
     """
     logits = logits.astype(jnp.float32)
     log_p = jax.nn.log_softmax(logits, axis=-1)
     if labels.ndim == logits.ndim - 1:
-        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-    else:
-        nll = -jnp.sum(labels * log_p, axis=-1)
+        labels = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    if label_smoothing > 0.0:
+        n = logits.shape[-1]
+        labels = labels * (1.0 - label_smoothing) + label_smoothing / n
+    nll = -jnp.sum(labels * log_p, axis=-1)
     return jnp.mean(nll)

@@ -70,8 +70,14 @@ def make_schedule(learning_rate: float, schedule: str = "constant",
 
 def make_optimizer(name: str, learning_rate: float, momentum: float = 0.0,
                    schedule: str = "constant", total_steps: int = 0,
-                   warmup_steps: int = 0) -> Optimizer:
+                   warmup_steps: int = 0, weight_decay: float = 0.0) -> Optimizer:
     lr = make_schedule(learning_rate, schedule, total_steps, warmup_steps)
+    if weight_decay > 0.0:
+        if name == "adam":
+            return from_optax(optax.adamw(lr, weight_decay=weight_decay))
+        tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                         optax.sgd(lr, momentum=momentum or None))
+        return from_optax(tx)
     if name == "sgd" and momentum == 0.0 and isinstance(lr, float):
         return sgd(lr)
     if name == "sgd" and momentum == 0.0:

@@ -43,7 +43,7 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
 
 
 def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
-             remat=False):
+             remat=False, label_smoothing=0.0):
     apply = model.apply
     if remat:
         # rematerialize activations in the backward pass (trade FLOPs for
@@ -57,9 +57,8 @@ def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
         logits, new_state, _ = apply(params, state, images, train=train,
                                      rng=rng, compute_dtype=compute_dtype)
     logits = logits.astype(jnp.float32)
-    log_p = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-    loss = jnp.mean(nll)
+    from cnn_tpu.ops.losses import softmax_cross_entropy
+    loss = softmax_cross_entropy(logits, labels, label_smoothing)
     correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
     return loss, (new_state, correct)
 
@@ -72,7 +71,8 @@ def _prep(images, compute_dtype):
 
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
-                    augment_fn=None, remat: bool = False):
+                    augment_fn=None, remat: bool = False,
+                    label_smoothing: float = 0.0):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
@@ -94,7 +94,7 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (new_state, correct)), grads = grad_fn(
             ts.params, ts.state, model, images, labels, rng, True,
-            compute_dtype, remat)
+            compute_dtype, remat, label_smoothing)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}

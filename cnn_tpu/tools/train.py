@@ -102,7 +102,8 @@ def main(argv=None):
                                train_cfg.momentum,
                                schedule=train_cfg.lr_schedule,
                                total_steps=train_cfg.total_iters,
-                               warmup_steps=train_cfg.warmup_steps)
+                               warmup_steps=train_cfg.warmup_steps,
+                               weight_decay=train_cfg.weight_decay)
 
     n_dev = len(jax.devices())
     mesh = None
@@ -150,11 +151,13 @@ def main(argv=None):
         step_fn = make_device_train_step(
             model, opt, device_train_ds, train_cfg.train_batch_size,
             compute_dtype=compute_dtype, augment_fn=augment_fn,
-            donate=train_cfg.donate)
+            donate=train_cfg.donate,
+            label_smoothing=train_cfg.label_smoothing)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,
-                                  augment_fn=augment_fn)
+                                  augment_fn=augment_fn,
+                                  label_smoothing=train_cfg.label_smoothing)
     eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)

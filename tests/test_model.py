@@ -213,3 +213,18 @@ def test_tensor_utility_ops(rng):
     np.testing.assert_array_equal(np.asarray(p[:, :2]), 0)
     mm = np.asarray(T.minmax_normalize(x))
     assert mm.min() == 0.0 and mm.max() == 1.0
+
+
+def test_label_smoothing_and_weight_decay():
+    from cnn_tpu import ops as _ops
+    logits = jnp.asarray([[2.0, -1.0, 0.5]])
+    labels = jnp.asarray([0])
+    plain = float(_ops.softmax_cross_entropy(logits, labels))
+    smooth = float(_ops.softmax_cross_entropy(logits, labels, label_smoothing=0.1))
+    assert smooth > plain  # smoothing adds entropy mass on wrong classes
+    # weight decay shrinks weights even with zero gradient signal
+    opt = optim.make_optimizer("momentum", 1e-1, 0.9, weight_decay=1e-2)
+    params = {"w": jnp.ones((4,))}
+    opt_state = opt.init(params)
+    new_params, _ = opt.update({"w": jnp.zeros((4,))}, opt_state, params)
+    assert float(new_params["w"][0]) < 1.0
