@@ -151,6 +151,10 @@ class DataLoader:
 
     def _ensure_started(self):
         if self._thread is None:
+            assert self.batch_size <= len(self.samples), (
+                f"batch_size {self.batch_size} > dataset size "
+                f"{len(self.samples)} — the infinite stream would yield no "
+                "batches and hang (epoch iteration via __iter__ still works)")
             self._queue = queue.Queue(maxsize=self.prefetch)
             self._stop.clear()
             self._thread = threading.Thread(target=self._producer, daemon=True)

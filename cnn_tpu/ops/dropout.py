@@ -39,12 +39,12 @@ def channel_dropout(x: jnp.ndarray, p: float, *, train: bool,
             return x * keep
         return x * jnp.asarray(1.0 - p, dtype=x.dtype)
 
-    assert rng is not None, "sampled dropout needs an rng key"
     if not train:
         if compat == "sampled":
             return x * jnp.asarray(1.0 - p, dtype=x.dtype)
         return x  # inverted: eval is identity
 
+    assert rng is not None, "sampled dropout needs an rng key in training"
     # drop exactly n_drop channels, chosen uniformly at random per step
     perm = jax.random.permutation(rng, c)
     keep = (perm >= n_drop).astype(x.dtype)

@@ -82,6 +82,7 @@ class InferenceEngine:
 
     def _run(self, bucket: int, chunk: np.ndarray):
         rem = chunk.shape[0]
+        assert rem <= bucket, (rem, bucket)
         if rem < bucket:
             pad = np.zeros((bucket - rem, *chunk.shape[1:]), chunk.dtype)
             chunk = np.concatenate([chunk, pad])

@@ -118,3 +118,9 @@ def test_stream_raises_on_unreadable_image_instead_of_hanging():
     with pytest.raises(RuntimeError, match="data producer failed"):
         loader.generate_batch()
     loader.close()
+
+
+def test_stream_rejects_batch_larger_than_dataset():
+    loader = DataLoader([("/x.jpg", 0)] * 3, batch_size=8)
+    with pytest.raises(AssertionError, match="would yield no"):
+        loader.generate_batch()

@@ -247,3 +247,13 @@ def test_uint8_preprocess(rng):
     out = preprocess_batch(jnp.asarray(raw))
     np.testing.assert_allclose(np.asarray(out), raw.astype(np.float32) / 255,
                                rtol=1e-6, atol=1e-7)
+
+
+def test_channel_dropout_eval_needs_no_rng():
+    """Eval must not require an rng key (regression: assert fired before the
+    eval shortcut and crashed validation of dropout-enabled models)."""
+    x = jnp.ones((1, 2, 2, 10), jnp.float32)
+    out = ops.channel_dropout(x, 0.3, train=False, rng=None, compat="inverted")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out2 = ops.channel_dropout(x, 0.3, train=False, rng=None, compat="sampled")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 0.7, rtol=1e-6)
