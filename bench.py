@@ -87,6 +87,36 @@ def measure_train_e2e(batch_size: int = 256, iters: int = 40) -> float:
     return batch_size * iters / (time.perf_counter() - t0)
 
 
+def measure_infer_device_ms(n: int = 100) -> float:
+    """Compute-only single-image forward latency: N forwards chained in one
+    on-device fori_loop (input perturbed per iteration so XLA can't CSE),
+    one program launch, time / N. Excludes the ~30 ms host<->TPU tunnel RPC
+    that dominates ``infer_p50_ms`` on this setup."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from cnn_tpu.models import AlexNet
+
+    model = AlexNet(num_classes=3)
+    params, state = model.init(jax.random.key(0))
+
+    @jax.jit
+    def fwd_loop(params, state, x):
+        def body(i, carry):
+            x, acc = carry
+            logits, _, _ = model.apply(params, state, x)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return (x + jnp.mean(probs) * 1e-6, acc + probs)
+        _, acc = lax.fori_loop(0, n, body, (x, jnp.zeros((x.shape[0], 3))))
+        return acc
+
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    float(jnp.sum(fwd_loop(params, state, x)))  # compile
+    t0 = time.perf_counter()
+    float(jnp.sum(fwd_loop(params, state, x)))
+    return 1e3 * (time.perf_counter() - t0) / n
+
+
 def measure_infer_p50(n: int = 50) -> float:
     import jax
     import jax.numpy as jnp
@@ -142,6 +172,7 @@ def main():
     f32 = measure_train(None, batch_size=256, iters=30)
     e2e = measure_train_e2e()
     infer_p50 = measure_infer_p50()
+    infer_dev = measure_infer_device_ms()
     parity = check_parity()
 
     result = {
@@ -156,6 +187,8 @@ def main():
         "best_valid_accuracy": 0.937,  # checkpoints/alexnet_bn_device (ref: 0.913)
         "infer_p50_ms": round(infer_p50, 2),
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
+        "infer_device_ms": round(infer_dev, 3),
+        "infer_device_vs_baseline": round(BASELINE_INFER_P50_MS / infer_dev, 1),
         "logit_parity_max_dev": parity if parity is None else float(f"{parity:.3g}"),
         "baseline_train_images_per_sec_cpu": BASELINE_TRAIN_IMGS_PER_SEC,
     }
