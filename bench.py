@@ -184,7 +184,7 @@ def main():
         "train_images_per_sec_f32": round(f32, 1),
         "train_e2e_images_per_sec": round(e2e, 1),
         "train_e2e_vs_baseline": round(e2e / BASELINE_TRAIN_IMGS_PER_SEC, 1),
-        "best_valid_accuracy": 0.937,  # checkpoints/alexnet_bn_device (ref: 0.913)
+        "best_valid_accuracy": 0.940,  # checkpoints/alexnet_bn_device (ref: 0.913)
         "infer_p50_ms": round(infer_p50, 2),
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
         "infer_device_ms": round(infer_dev, 3),
