@@ -63,3 +63,45 @@ def test_render_heatmap_shapes(setup):
     cam = np.random.default_rng(0).random((13, 13), np.float32)
     out = render_heatmap(img, cam)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_gradcam_tail_replay_equals_full_network_grad(setup):
+    """The CAM weights come from replaying the network tail from the captured
+    activation; the gradient must equal differentiating the FULL forward wrt
+    that activation (chain rule through capture)."""
+    import jax
+    model, params, state, fx = setup
+    x = jnp.asarray(fx["image_u8_1"][None]).astype(jnp.float32) / 255.0
+    layer_name = "conv_layer_3"
+
+    logits, _, cap = model.apply(params, state, x, capture=(layer_name,))
+    k = int(np.asarray(logits).argmax())
+    fmap = cap[layer_name]
+
+    def score_from_act(act):
+        out = act
+        seen = False
+        for layer in model.net.layers:
+            if seen:
+                out, _ = layer.apply(params.get(layer.name),
+                                     state.get(layer.name), out, train=False)
+            if layer.name == layer_name:
+                seen = True
+        return out[0, k]
+
+    g_replay = jax.grad(score_from_act)(fmap)
+
+    # oracle: inject the activation into the full forward via closure and
+    # differentiate end to end
+    def score_full(act):
+        out = x
+        for layer in model.net.layers:
+            out, _ = layer.apply(params.get(layer.name),
+                                 state.get(layer.name), out, train=False)
+            if layer.name == layer_name:
+                out = act  # substitute the captured activation
+        return out[0, k]
+
+    g_full = jax.grad(score_full)(fmap)
+    np.testing.assert_allclose(np.asarray(g_replay), np.asarray(g_full),
+                               rtol=1e-5, atol=1e-7)
