@@ -129,7 +129,11 @@ def _vjp_bwd(stride, relu, res, g):
         window_strides=(1, 1), padding="VALID",
         lhs_dilation=(1, 1), rhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).transpose(1, 2, 0, 3)                 # [k, k, Cin, Cout]
+    ).transpose(1, 2, 0, 3)                 # [kh, kw, Cin, Cout]
+    # the correlation extent is H-(Ho-1)*stride >= k, with equality only when
+    # (H-k) % stride == 0; dangling input rows/cols never touch the kernel, so
+    # crop to the true kernel extent (e.g. the 224->111 conv1 geometry)
+    dw = dw[:k, :k]
     db = jnp.sum(g, axis=(0, 1, 2))
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(g.dtype)
 

@@ -84,9 +84,13 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     """
 
     def step(ts: TrainState, images, labels):
-        rng = jax.random.fold_in(ts.rng, ts.step)
+        step_rng = jax.random.fold_in(ts.rng, ts.step)
+        # disjoint streams: Sequential folds small layer indices into the
+        # model key, so augmentation must come from a split, never fold_in
+        # of a constant that a layer index could collide with
+        rng, aug_rng = jax.random.split(step_rng)
         if augment_fn is not None:
-            images = augment_fn(jax.random.fold_in(rng, 7), images)
+            images = augment_fn(aug_rng, images)
             if compute_dtype is not None:
                 images = images.astype(compute_dtype)
         else:

@@ -43,7 +43,9 @@ DEFAULT_IMAGES = [
 
 def _minmax(cam: jnp.ndarray) -> jnp.ndarray:
     lo, hi = jnp.min(cam), jnp.max(cam)
-    return (cam - lo) / (hi - lo)
+    # an all-constant CAM (e.g. ReLU of a fully non-positive weighted sum)
+    # must map to zeros, not NaN
+    return (cam - lo) / jnp.maximum(hi - lo, 1e-12)
 
 
 def compute_cam(model, params, state, x: jnp.ndarray, layer_name: str,

@@ -123,8 +123,14 @@ def main(argv=None):
         cks = sorted(_glob.glob(os.path.join(train_cfg.checkpoint_dir, "*.ckpt")),
                      key=os.path.getmtime)
         resume = cks[-1] if cks else ""
+    start_iters = train_cfg.start_iters
     if resume and os.path.exists(resume):
         ts = load_checkpoint(resume)
+        if mesh is not None:
+            # load_checkpoint returns host-replicated arrays; restore the
+            # DP/TP placement the fresh state had
+            ts = shard_train_state(ts, mesh)
+        start_iters = max(start_iters, int(ts.step) + 1)
         print(f"resumed from {resume} at step {int(ts.step)}")
 
     augment_fn = None
@@ -171,7 +177,7 @@ def main(argv=None):
     device_mode = device_train_ds is not None
     bs = train_cfg.train_batch_size
     with trace(train_cfg.profile_dir or None):
-        for it in range(train_cfg.start_iters, train_cfg.total_iters + 1):
+        for it in range(start_iters, train_cfg.total_iters + 1):
             if device_mode:
                 # fully on-device step: no host data, no per-step fetch (each
                 # blocking fetch costs a ~30 ms tunnel RPC — metrics are

@@ -66,6 +66,33 @@ def save_checkpoint(path: str, train_state, backend: str = "pickle") -> None:
     os.replace(tmp, path)
 
 
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Data-only unpickler: a checkpoint is numpy arrays plus optax
+    namedtuple state wrappers, never code. Anything else (os.system,
+    subprocess, __reduce__ payloads...) is refused, so loading a checkpoint
+    from a shared directory cannot execute arbitrary code."""
+
+    _SAFE = {
+        ("numpy", "ndarray"), ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._SAFE:
+            return super().find_class(module, name)
+        if module.split(".")[0] in ("optax", "numpy"):
+            cls = super().find_class(module, name)
+            # optax states are NamedTuples; numpy extension dtypes are
+            # type objects — both are inert data containers
+            if isinstance(cls, type) and issubclass(cls, (tuple, np.dtype)):
+                return cls
+        raise pickle.UnpicklingError(
+            f"checkpoint contains blocked global {module}.{name}")
+
+
 def load_checkpoint(path: str, train_state=None):
     """Returns a TrainState; auto-detects pickle file vs orbax directory."""
     from cnn_tpu.parallel.train_step import TrainState
@@ -75,7 +102,7 @@ def load_checkpoint(path: str, train_state=None):
         payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     else:
         with open(path, "rb") as f:
-            payload = pickle.load(f)
+            payload = _RestrictedUnpickler(f).load()
     to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     return TrainState(
         params=to_jnp(payload["params"]),

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -142,6 +144,22 @@ def test_checkpoint_roundtrip(tmp_path):
     ts_a, m_a = step(ts, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
     ts_b, m_b = step(ts2, jnp.ones((2, 64, 64, 3)), jnp.zeros(2, jnp.int32))
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_load_rejects_code_execution(tmp_path):
+    """load_checkpoint is data-only: a pickle carrying a callable global
+    (the classic os.system __reduce__ payload) must be refused, not run."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned > /dev/null",))
+
+    path = os.path.join(tmp_path, "evil.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump({"params": Evil()}, f)
+    with pytest.raises(pickle.UnpicklingError, match="blocked global"):
+        load_checkpoint(path)
 
 
 def test_checkpoint_names():

@@ -115,3 +115,35 @@ def test_conv_fused_vjp_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k,stride", [
+    ((2, 8, 8, 3), 3, 2),      # (H-k) % s == 1: dangling row/col
+    ((1, 64, 64, 3), 3, 2),    # same geometry class as the 224px conv1
+    ((2, 12, 10, 4), 5, 3),    # asymmetric + larger kernel, (H-k)%s == 1
+])
+def test_conv_fused_vjp_dangling_rows(rng, shape, k, stride):
+    """dw must be cropped to kernel extent when (H-k) % stride != 0.
+
+    Regression for the dilated-correlation overextent: without the crop,
+    dw comes back (k + (H-k)%s, ...) and grad through the fused kernel
+    fails at exactly the flagship conv1 shapes.
+    """
+    from cnn_tpu.ops.pallas.conv import _vjp_bwd
+    assert (shape[1] - k) % stride != 0
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    cin = shape[-1]
+    params = ops.conv2d_init(jax.random.key(3), cin, 8, k)
+    w, b = params["w"], params["b"]
+
+    def ref_fn(x, w, b):
+        return ops.relu(ops.conv2d({"w": w, "b": b}, x, stride))
+
+    ref_out, ref_vjp = jax.vjp(ref_fn, x, w, b)
+    g = jnp.asarray(rng.standard_normal(ref_out.shape, dtype=np.float32))
+    ref_dx, ref_dw, ref_db = ref_vjp(g)
+    dx, dw, db = _vjp_bwd(stride, True, (x, w, ref_out), g)
+    assert dw.shape == w.shape
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db), rtol=1e-4, atol=1e-5)
