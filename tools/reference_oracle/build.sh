@@ -21,3 +21,5 @@ g++ $CXXFLAGS /root/repo/tools/reference_oracle/baseline_bench.cpp $LIB_SRC -o "
 echo "built: $OUT/{fixture_gen,baseline_bench}"
 g++ $CXXFLAGS /root/repo/tools/reference_oracle/layer_dump.cpp $LIB_SRC -o "$OUT/layer_dump" $LDFLAGS
 echo "built: $OUT/layer_dump"
+g++ $CXXFLAGS /root/repo/tools/reference_oracle/grad_dump.cpp $LIB_SRC -o "$OUT/grad_dump" $LDFLAGS
+echo "built: $OUT/grad_dump"
