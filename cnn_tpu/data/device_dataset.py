@@ -9,15 +9,24 @@ sampling (uniform with replacement, `jax.random.randint` + `jnp.take`),
 augmentation (ops/augment.py), normalization, and the train step — one
 fused XLA program, no host in the loop.
 
+Multi-chip: pass a ``Mesh`` and the dataset uploads sharded over the 'data'
+axis; the train step then samples each device's sub-batch from its LOCAL
+shard via ``shard_map`` (stratified uniform sampling — the split is
+pre-shuffled, so shards are random subsets), which keeps the input path
+entirely collective-free: no gathers, no all-to-alls, just local HBM reads.
+
 The reference's equivalent is its per-sample host pipeline
 (pipeline.cpp:112-164) which re-decodes every image every epoch.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_tpu.data.loader import DataLoader
 
@@ -26,7 +35,7 @@ class DeviceDataset:
     """Decode once on the host, pin (images, labels) in HBM, sample on-device."""
 
     def __init__(self, samples, image_size: int = 256, num_workers: int = 4,
-                 sharding=None):
+                 sharding=None, mesh: Optional[Mesh] = None):
         loader = DataLoader(samples, batch_size=1, augment=False,
                             shuffle=False, image_size=image_size,
                             num_workers=num_workers, cache=False)
@@ -35,11 +44,39 @@ class DeviceDataset:
         for i, (img, lbl) in enumerate(loader):
             imgs[i] = img[0]
             lbls[i] = lbl[0]
-        self.images = (jax.device_put(imgs, sharding) if sharding is not None
-                       else jax.device_put(imgs))
-        self.labels = jax.device_put(lbls)
-        self.n = len(samples)
+        self._place(imgs, lbls, sharding, mesh)
         self.image_size = image_size
+
+    @classmethod
+    def from_arrays(cls, images: np.ndarray, labels: np.ndarray,
+                    sharding=None, mesh: Optional[Mesh] = None):
+        """Build directly from in-memory arrays (tests, synthetic data)."""
+        self = cls.__new__(cls)
+        self._place(np.asarray(images), np.asarray(labels, np.int32),
+                    sharding, mesh)
+        self.image_size = images.shape[1]
+        return self
+
+    def _place(self, imgs: np.ndarray, lbls: np.ndarray, sharding, mesh):
+        self.mesh = mesh
+        self.n = len(imgs)
+        if mesh is not None:
+            data_dim = mesh.shape["data"]
+            # shard-divisible upload: pad by re-listing leading samples (they
+            # are sampled with replacement anyway; padding keeps every shard
+            # the same length so shard_map sampling needs no masks)
+            pad = (-len(imgs)) % data_dim
+            if pad:
+                imgs = np.concatenate([imgs, imgs[:pad]])
+                lbls = np.concatenate([lbls, lbls[:pad]])
+            self.n = len(imgs)
+            sharding = NamedSharding(mesh, P("data", None, None, None))
+            self.images = jax.device_put(imgs, sharding)
+            self.labels = jax.device_put(lbls, NamedSharding(mesh, P("data")))
+        else:
+            self.images = (jax.device_put(imgs, sharding)
+                           if sharding is not None else jax.device_put(imgs))
+            self.labels = jax.device_put(lbls)
 
     def sample(self, rng: jax.Array, batch_size: int):
         """On-device uniform sampling with replacement (call under jit)."""
@@ -56,20 +93,76 @@ class DeviceDataset:
             yield self.images[self.n - rem:], self.labels[self.n - rem:]
 
 
+def _make_sampler(dataset: DeviceDataset, batch_size: int,
+                  mesh: Optional[Mesh], sample_mode: str):
+    """(key, images_ref, labels_ref) -> (images, labels) sub-program.
+
+    - no mesh: plain global uniform sampling.
+    - mesh + 'local' (production): each data shard samples its sub-batch
+      from its local rows under ``shard_map`` — zero collectives.
+    - mesh + 'global': identical index sequence to the unsharded path
+      (same key -> same batch), output constrained to P('data'); used by
+      the single-device-equivalence tests, costs a cross-shard gather.
+    """
+    n = dataset.n
+    if mesh is None:
+        def sample(k, images_ref, labels_ref):
+            idx = jax.random.randint(k, (batch_size,), 0, n)
+            return (jnp.take(images_ref, idx, axis=0),
+                    jnp.take(labels_ref, idx, axis=0))
+        return sample
+
+    data_dim = mesh.shape["data"]
+    assert batch_size % data_dim == 0, (batch_size, data_dim)
+    if sample_mode == "global":
+        img_sh = NamedSharding(mesh, P("data", None, None, None))
+        lbl_sh = NamedSharding(mesh, P("data"))
+
+        def sample(k, images_ref, labels_ref):
+            idx = jax.random.randint(k, (batch_size,), 0, n)
+            return (jax.lax.with_sharding_constraint(
+                        jnp.take(images_ref, idx, axis=0), img_sh),
+                    jax.lax.with_sharding_constraint(
+                        jnp.take(labels_ref, idx, axis=0), lbl_sh))
+        return sample
+
+    assert sample_mode == "local", sample_mode
+    n_local = n // data_dim
+    per_shard = batch_size // data_dim
+
+    def local_sample(k, images_ref, labels_ref):
+        # refs here are the LOCAL [n/D, ...] shards
+        k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+        idx = jax.random.randint(k, (per_shard,), 0, n_local)
+        return (jnp.take(images_ref, idx, axis=0),
+                jnp.take(labels_ref, idx, axis=0))
+
+    return jax.shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(P(), P("data", None, None, None), P("data")),
+        out_specs=(P("data", None, None, None), P("data")),
+    )
+
+
 def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            batch_size: int, *, compute_dtype=None,
                            augment_fn=None, donate: bool = True,
-                           label_smoothing: float = 0.0):
+                           label_smoothing: float = 0.0,
+                           mesh: Optional[Mesh] = None,
+                           sample_mode: str = "local"):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
-    Returns jitted ``(ts) -> (ts, metrics)`` closed over the resident
-    dataset arrays (they are captured as constants-by-reference; XLA keeps
-    them in HBM without copies).
+    Returns ``(ts) -> (ts, metrics)``. With ``mesh``, the batch is sampled
+    shard-locally over the 'data' axis and the step runs SPMD with
+    XLA-inserted gradient collectives — the fast input path and the
+    multi-chip path compose instead of excluding each other.
     """
     from cnn_tpu.parallel.train_step import TrainState, _loss_fn
     from cnn_tpu.ops.preprocess import uint8_to_float
 
-    n = dataset.n
+    if mesh is not None:
+        assert dataset.mesh is mesh, "dataset must be uploaded onto the same mesh"
+    sampler = _make_sampler(dataset, batch_size, mesh, sample_mode)
 
     # NOTE: the resident arrays are jit ARGUMENTS, not closure captures — a
     # captured array would be constant-folded into the HLO and shipped to
@@ -78,9 +171,7 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     def step(ts: TrainState, images_ref, labels_ref):
         rng = jax.random.fold_in(ts.rng, ts.step)
         k_sample, k_aug, k_model = jax.random.split(rng, 3)
-        idx = jax.random.randint(k_sample, (batch_size,), 0, n)
-        images = jnp.take(images_ref, idx, axis=0)
-        labels = jnp.take(labels_ref, idx, axis=0)
+        images, labels = sampler(k_sample, images_ref, labels_ref)
         if augment_fn is not None:
             images = augment_fn(k_aug, images)
             if compute_dtype is not None:

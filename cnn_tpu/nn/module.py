@@ -45,6 +45,15 @@ class Layer:
         """Spatial shape inference for (H, W, C) tuples."""
         return in_shape
 
+    def param_pspecs(self, model_dim: int) -> Optional[dict]:
+        """Tensor-parallel PartitionSpec per param key, or None to replicate.
+
+        Sharding intent lives on the layer spec (each layer knows which of
+        its axes can split over the mesh's 'model' axis), so the sharder in
+        ``cnn_tpu/parallel/train_step.py`` never guesses from layer names.
+        """
+        return None
+
 
 @dataclass(frozen=True)
 class Conv2D(Layer):
@@ -71,6 +80,15 @@ class Conv2D(Layer):
         return (ops.conv_out_size(h, self.kernel_size, self.stride, self.padding),
                 ops.conv_out_size(w, self.kernel_size, self.stride, self.padding),
                 self.out_channels)
+
+    def param_pspecs(self, model_dim):
+        # shard out-channels of wide convs over 'model' (tiny convs would
+        # leave the MXU starved per shard — replicate those)
+        if model_dim > 1 and self.out_channels % model_dim == 0 \
+                and self.out_channels >= 32 * model_dim:
+            from jax.sharding import PartitionSpec as P
+            return {"w": P(None, None, None, "model")}
+        return None
 
 
 @dataclass(frozen=True)
@@ -150,6 +168,14 @@ class Linear(Layer):
 
     def out_shape(self, in_shape):
         return (self.out_features,)
+
+    def param_pspecs(self, model_dim):
+        # shard in-features over 'model': the head matmul becomes a partial
+        # contraction GSPMD finishes with a psum over ICI
+        if model_dim > 1 and self.in_features % model_dim == 0:
+            from jax.sharding import PartitionSpec as P
+            return {"w": P("model", None)}
+        return None
 
 
 @dataclass(frozen=True)

@@ -141,10 +141,17 @@ def augment_batch_fast(rng: jax.Array, images: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
                                    "crop_p", "rotate_p"))
-def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
-                  hflip_p: float = 0.5, vflip_p: float = 0.2,
-                  crop_p: float = 0.7, rotate_p: float = 0.5) -> jnp.ndarray:
-    """[B,S,S,C] uint8/float canvases -> [B,out,out,C] f32 in [0,1]."""
+def augment_batch_gather(rng: jax.Array, images: jnp.ndarray,
+                         out_size: int = 224, hflip_p: float = 0.5,
+                         vflip_p: float = 0.2, crop_p: float = 0.7,
+                         rotate_p: float = 0.5) -> jnp.ndarray:
+    """[B,S,S,C] uint8/float canvases -> [B,out,out,C] f32 in [0,1].
+
+    Single fused affine resample through ``map_coordinates``. Numerically
+    the cleanest formulation, but the per-pixel gathers serialize on the
+    TPU (~144 ms per 64-batch measured) — training uses ``augment_batch``
+    (shear decomposition) instead; this stays as its correctness oracle.
+    """
     b, s, s2, _ = images.shape
     assert s == s2, "square canvases expected"
     x = images.astype(jnp.float32)
@@ -154,3 +161,113 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
     mats = jax.vmap(lambda k: _affine_for_sample(
         k, s, out_size, hflip_p, vflip_p, crop_p, rotate_p))(keys)
     return jax.vmap(lambda im, m: _sample_one(im, m, out_size))(x, mats)
+
+
+# --------------------------------------------------------------------------
+# Gather-free full policy: rotation via the Paeth three-shear decomposition.
+#
+# A pure rotation of SAMPLING coordinates (y,x about the canvas center)
+# factors into three shears:
+#     R(th) = Sx(m) @ Sy(n) @ Sx(m),   m = -tan(th/2), n = sin(th)
+# where Sx(m): (y,x) -> (y, x + m*y) and Sy(n): (y,x) -> (y + n*x, x).
+# Each shear resamples only ALONG one axis with a per-row (per-column)
+# fractional shift — implemented as one dynamic row slice plus a 2-tap
+# blend, i.e. contiguous vector loads instead of map_coordinates' per-pixel
+# scalar gathers. The expansion shrink (factor f = |cos|+|sin|, emulating
+# the reference's expand-canvas rotate + final resize, pipeline.cpp:23-33)
+# and the crop/resize run as `scale_and_translate` (separable weighted
+# sums), so the whole policy is gather-free.
+#
+# Working canvas: content is pre-shrunk by 1/f, so its half-extent is
+# h = S/(2f); the worst intermediate half-extent is h*(1+|m|) <= 0.72*S
+# (at 75 deg), hence the padded working canvas P ~ 1.5*S.
+# --------------------------------------------------------------------------
+
+
+def _rotate_batch(imgs: jnp.ndarray, theta: jnp.ndarray,
+                  impl: str = "auto") -> jnp.ndarray:
+    """Pure rotation of sampling coords by ``theta[b]`` about the center
+    (content pre-shrunk by 1/f). Dispatches to the fused Pallas kernel on
+    TPU (one HBM read+write per image) and the identical-math XLA bit-roll
+    path elsewhere. See ``cnn_tpu/ops/pallas/augment.py``."""
+    from cnn_tpu.ops.pallas.augment import rotate_shear_pallas, rotate_shear_xla
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return rotate_shear_pallas(imgs, theta)
+    return rotate_shear_xla(imgs, theta)
+
+
+def _rotate_shear(img: jnp.ndarray, theta) -> jnp.ndarray:
+    """Single-image wrapper (correctness oracle tests)."""
+    return _rotate_batch(img[None], jnp.asarray(theta)[None], impl="xla")[0]
+
+
+@partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
+                                   "crop_p", "rotate_p"))
+def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
+                  hflip_p: float = 0.5, vflip_p: float = 0.2,
+                  crop_p: float = 0.7, rotate_p: float = 0.5) -> jnp.ndarray:
+    """[B,S,S,C] uint8/float canvases -> [B,out,out,C] f32 in [0,1].
+
+    The FULL reference policy (hflip/vflip/crop/rotate, pipeline.h:34) with
+    a gather-free rotation (three shears, see above) so it runs at
+    fast-path speed instead of 18x the train step. Flips are applied first
+    (the rotation angle and crop offsets are symmetrically distributed, so
+    op order changes no marginal distribution); rotation uses three
+    bilinear passes, which is very slightly softer than the one-pass
+    ``augment_batch_gather`` oracle.
+    """
+    b, s, s2, _ = images.shape
+    assert s == s2, "square canvases expected"
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+
+    cs = (s - 1) / 2.0
+    keys = jax.random.split(rng, b)
+
+    def draw(key):
+        k_h, k_v, k_c, k_cy, k_cx, k_r, k_ra, k_rs, k_rp = jax.random.split(key, 9)
+        ang = jax.random.uniform(k_ra, minval=15.0, maxval=75.0)
+        ang = jnp.where(jax.random.uniform(k_rs) < 0.5, -ang, ang) * jnp.pi / 180.0
+        ang = jnp.where(jax.random.uniform(k_rp) < rotate_p, ang, 0.0)
+        r = jnp.where(jax.random.uniform(k_r) < crop_p,
+                      0.7 + jax.random.uniform(k_c) * 0.25, 1.0)
+        return (jax.random.uniform(k_h) < hflip_p,
+                jax.random.uniform(k_v) < vflip_p,
+                ang, r,
+                jax.random.uniform(k_cy), jax.random.uniform(k_cx))
+
+    do_h, do_v, ang, r, uy, ux = jax.vmap(draw)(keys)
+    f = jnp.abs(jnp.cos(ang)) + jnp.abs(jnp.sin(ang))   # expansion factor
+
+    def place(img, do_h, do_v, f):
+        img = jnp.where(do_h, img[:, ::-1], img)
+        img = jnp.where(do_v, img[::-1], img)
+        # pre-shrink by 1/f about the center, same canvas:
+        # J0(q) = I(f*(q - cs) + cs); the rotated content's half-extent is
+        # then (|cos|+|sin|)*s/(2f) = s/2 — it exactly fits the canvas,
+        # and the shear intermediates overflow only into the rotation
+        # kernel's internal padding
+        scale = 1.0 / f
+        t = cs * (1.0 - scale)
+        return jax.image.scale_and_translate(
+            img, (s, s, img.shape[-1]), (0, 1),
+            jnp.stack([scale, scale]), jnp.stack([t, t]), method="linear")
+
+    j = jax.vmap(place)(x, do_h, do_v, f)
+    j = _rotate_batch(j, ang)
+
+    def final(img, r, uy, ux):
+        # crop (keep-ratio r, uniform offsets) + resize:
+        # out(q) = J(r*(s/out)*q + o)
+        oy = uy * (1.0 - r) * s
+        ox = ux * (1.0 - r) * s
+        out_scale = out_size / (r * s)
+        return jax.image.scale_and_translate(
+            img, (out_size, out_size, img.shape[-1]), (0, 1),
+            jnp.stack([out_scale, out_scale]),
+            jnp.stack([-oy * out_scale, -ox * out_scale]), method="linear")
+
+    return jax.vmap(final)(j, r, uy, ux)

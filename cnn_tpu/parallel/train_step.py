@@ -158,32 +158,55 @@ def make_forward(model, *, compute_dtype=None):
     return fwd
 
 
-def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
+def model_pspecs(model, mesh: Mesh) -> dict:
+    """Collect each layer's declared TP PartitionSpecs for this mesh.
+
+    Returns ``{layer_name: {param_key: PartitionSpec}}``. Sharding intent is
+    layer-spec metadata (``nn.module.Layer.param_pspecs``) — a model with
+    unconventional layer names shards exactly as its specs declare, with no
+    name matching here.
+    """
+    model_dim = mesh.shape.get("model", 1)
+    layers = getattr(model, "layers", None) or model.net.layers
+    specs = {}
+    for layer in layers:
+        ps = layer.param_pspecs(model_dim)
+        if ps:
+            specs[layer.name] = ps
+    return specs
+
+
+def shard_train_state(ts: TrainState, mesh: Mesh, model=None) -> TrainState:
     """Place a TrainState onto the mesh (tensor parallelism over 'model').
 
-    TP pattern for the conv->flatten->dense tail: the widest conv layer
-    shards its out-channels over 'model'; the dense layer that consumes the
-    flattened features shards its in-features over the same axis, so the
-    head matmul is a partial contraction that GSPMD finishes with a psum
-    over ICI. Everything else (small convs, biases, BN stats) replicates.
-    With ``model_parallel == 1`` this is pure replication (plain DP).
+    TP pattern for the conv->flatten->dense tail (declared per-layer via
+    ``Layer.param_pspecs``): wide convs shard out-channels over 'model';
+    the dense layer consuming the flattened features shards its in-features
+    over the same axis, so the head matmul is a partial contraction that
+    GSPMD finishes with a psum over ICI. Everything else (small convs,
+    biases, BN stats) replicates. With ``model_parallel == 1`` (or
+    ``model=None``) this is pure replication — plain DP.
+
+    The same specs are applied to optimizer state: momentum buffers mirror
+    their parameter's placement (their pytree paths contain the layer name).
     """
     replicated = NamedSharding(mesh, P())
-    model_dim = mesh.shape["model"]
+    specs = model_pspecs(model, mesh) if model is not None else {}
 
     def leaf_sharding(path, leaf):
-        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        if model_dim <= 1 or not hasattr(leaf, "ndim"):
+        if not specs or not hasattr(leaf, "ndim"):
             return replicated
-        is_linear = any(n.startswith("linear") for n in names)
-        is_conv = any(n.startswith("conv") for n in names)
-        is_w = names and names[-1] == "w"
-        if is_linear and is_w and leaf.ndim == 2 and leaf.shape[0] % model_dim == 0:
-            return NamedSharding(mesh, P("model", None))       # in-features
-        if is_conv and is_w and leaf.ndim == 4 and leaf.shape[-1] % model_dim == 0:
-            # shard out-channels of wide convs only (tiny convs replicate)
-            if leaf.shape[-1] >= 32 * model_dim:
-                return NamedSharding(mesh, P(None, None, None, "model"))
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        for n in names:
+            layer_spec = specs.get(n)
+            if layer_spec and names[-1] in layer_spec:
+                spec = layer_spec[names[-1]]
+                # guard: only apply when every sharded dim divides
+                ok = leaf.ndim == len(spec) and all(
+                    ax is None or leaf.shape[d] % mesh.shape[ax] == 0
+                    for d, ax in enumerate(spec))
+                if ok:
+                    return NamedSharding(mesh, spec)
         return replicated
 
     def place(tree):

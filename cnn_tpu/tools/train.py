@@ -114,7 +114,7 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else None
     ts = create_train_state(model, opt, jax.random.key(train_cfg.seed))
     if mesh is not None:
-        ts = shard_train_state(ts, mesh)
+        ts = shard_train_state(ts, mesh, model)
 
     resume = train_cfg.resume
     if resume == "auto":
@@ -129,7 +129,7 @@ def main(argv=None):
         if mesh is not None:
             # load_checkpoint returns host-replicated arrays; restore the
             # DP/TP placement the fresh state had
-            ts = shard_train_state(ts, mesh)
+            ts = shard_train_state(ts, mesh, model)
         start_iters = max(start_iters, int(ts.step) + 1)
         print(f"resumed from {resume} at step {int(ts.step)}")
 
@@ -150,15 +150,18 @@ def main(argv=None):
                                                  make_device_train_step)
         canvas = data_cfg.canvas_size if data_cfg.augment else data_cfg.image_size
         print(f"uploading dataset to device (canvas {canvas}px)...")
+        # train set shards over the mesh's 'data' axis (each chip samples
+        # its sub-batch from local HBM); valid stays unsharded so epoch
+        # iteration needs no padding
         device_train_ds = DeviceDataset(splits["train"], canvas,
-                                        data_cfg.num_workers)
+                                        data_cfg.num_workers, mesh=mesh)
         device_valid_ds = DeviceDataset(splits["valid"], data_cfg.image_size,
                                         data_cfg.num_workers)
         step_fn = make_device_train_step(
             model, opt, device_train_ds, train_cfg.train_batch_size,
             compute_dtype=compute_dtype, augment_fn=augment_fn,
             donate=train_cfg.donate,
-            label_smoothing=train_cfg.label_smoothing)
+            label_smoothing=train_cfg.label_smoothing, mesh=mesh)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,

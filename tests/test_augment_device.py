@@ -76,3 +76,66 @@ def test_batch_diversity(rng):
     out = np.asarray(augment_batch(jax.random.key(7), x, out_size=24))
     distinct = {out[i].tobytes() for i in range(8)}
     assert len(distinct) >= 4
+
+
+def test_shear_rotation_matches_gather_oracle():
+    """The Paeth 3-shear rotation equals the map_coordinates affine sample
+    (both approximate the true rotation; on a smooth image they agree to
+    second order)."""
+    import jax.numpy as jnp
+    from cnn_tpu.ops.augment import _rotate_shear, _sample_one
+
+    p = 48
+    yy, xx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+    smooth = (0.5 + 0.25 * np.sin(2 * np.pi * yy / p)
+              * np.cos(2 * np.pi * xx / p)).astype(np.float32)
+    # content confined (smoothly — bilinear 1-pass vs 3-pass differ O(1)
+    # at hard edges) to the center, as in augment_batch: the pipeline
+    # pre-shrinks by 1/f so rotation never clips content; a full-canvas
+    # image at 75 deg would lose corners mid-shear
+    c0 = (p - 1) / 2.0
+    win = np.exp(-(((yy - c0) ** 2 + (xx - c0) ** 2) / (2 * (p / 8.0) ** 2))
+                 ).astype(np.float32)
+    smooth = smooth * win
+    img = jnp.asarray(np.stack([smooth, smooth * 0.5, win - smooth], -1))
+    c = (p - 1) / 2.0
+    for deg in (15.0, -37.0, 45.0, 75.0):
+        th = np.deg2rad(deg).astype(np.float32)
+        ours = _rotate_shear(img, jnp.float32(th))
+        cos, sin = np.cos(th), np.sin(th)
+        mat = jnp.asarray([
+            [cos, sin, c - cos * c - sin * c],
+            [-sin, cos, c + sin * c - cos * c],
+            [0, 0, 1]], jnp.float32)
+        ref = _sample_one(img, mat, p)
+        # compare the interior (borders differ in zero-fill blending)
+        m = 10
+        dev = np.abs(np.asarray(ours) - np.asarray(ref))[m:-m, m:-m].max()
+        assert dev < 2.5e-2, (deg, dev)
+
+
+def test_full_policy_composition_matches_gather_version_no_flips():
+    """With flips off and fixed rotation/crop draws, the decomposed pipeline
+    (shrink -> shears -> crop/resize) must land on the same image as the
+    one-matrix gather version."""
+    import jax.numpy as jnp
+    from cnn_tpu.ops.augment import augment_batch, augment_batch_gather
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    smooth = (0.5 + 0.2 * np.sin(2 * np.pi * yy / 64)
+              * np.cos(2 * np.pi * xx / 32)).astype(np.float32)
+    x = np.stack([np.stack([smooth] * 3, -1)] * 4)
+    # rotate_p=1, crop_p=1 fire deterministically; flips off; the random
+    # draws (angle, ratio, offsets) use different key streams, so compare
+    # batch STATISTICS over many samples instead of pixels
+    a = np.asarray(augment_batch(jax.random.key(0), jnp.asarray(np.tile(x, (16, 1, 1, 1))),
+                                 out_size=32, hflip_p=0, vflip_p=0,
+                                 crop_p=1.0, rotate_p=1.0))
+    b = np.asarray(augment_batch_gather(jax.random.key(1), jnp.asarray(np.tile(x, (16, 1, 1, 1))),
+                                        out_size=32, hflip_p=0, vflip_p=0,
+                                        crop_p=1.0, rotate_p=1.0))
+    assert abs(a.mean() - b.mean()) < 2e-2
+    assert abs(a.std() - b.std()) < 2e-2
+    # black-corner fraction (rotation signature) matches
+    assert abs((a < 1e-3).mean() - (b < 1e-3).mean()) < 0.05

@@ -28,7 +28,7 @@ def test_vgg_tp_sharding():
     mesh = make_mesh(4, 2)
     model = get_model("vgg8", num_classes=4, image_size=64)
     opt = optim.sgd(1e-2)
-    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh, model)
     # the gap->linear head: in_features=256 divisible by model=2
     assert "model" in str(ts.params["linear_1"]["w"].sharding.spec)
     step = make_train_step(model, opt, mesh=mesh, donate=False)

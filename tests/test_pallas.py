@@ -147,3 +147,17 @@ def test_conv_fused_vjp_dangling_rows(rng, shape, k, stride):
     np.testing.assert_allclose(np.asarray(dx), np.asarray(ref_dx), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db), rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_shear_kernel_matches_xla_twin(rng):
+    """The fused rotation kernel and its XLA twin share _rotate_core; the
+    only difference is pltpu.roll vs jnp.roll — outputs must be identical."""
+    from cnn_tpu.ops.pallas.augment import rotate_shear_pallas, rotate_shear_xla
+    s = 40
+    imgs = np.zeros((3, s, s, 3), np.float32)
+    # content confined to the center (pipeline pre-shrinks by 1/f)
+    imgs[:, 12:-12, 12:-12] = rng.random((3, 16, 16, 3), np.float32)
+    theta = jnp.asarray([0.3, -1.1, 0.0], jnp.float32)
+    a = rotate_shear_pallas(jnp.asarray(imgs), theta, interpret=True)
+    b = rotate_shear_xla(jnp.asarray(imgs), theta)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -28,7 +28,7 @@ def test_dp_train_step_on_mesh():
     mesh = make_mesh(8, 1)
     model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh, model)
     step = make_train_step(model, opt, mesh=mesh, donate=False)
     x = jnp.zeros((16, 64, 64, 3), jnp.uint8)
     y = jnp.arange(16, dtype=jnp.int32) % 3
@@ -49,7 +49,7 @@ def test_dp_matches_single_device():
     out1, m1 = step1(ts1, x, y)
 
     mesh = make_mesh(8, 1)
-    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(1)), mesh)
+    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(1)), mesh, model)
     step2 = make_train_step(model, opt, mesh=mesh, donate=False)
     out2, m2 = step2(ts2, x, y)
 
@@ -63,7 +63,7 @@ def test_tp_shards_head_params():
     mesh = make_mesh(4, 2)
     model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh, model)
     # conv4 out-channels and linear in-features shard over 'model'
     w_conv4 = ts.params["conv_layer_4"]["w"]
     w_lin = ts.params["linear_1"]["w"]
@@ -86,7 +86,7 @@ def test_tp_matches_single_device():
     out1, m1 = make_train_step(model, opt, donate=False)(ts1, x, y)
 
     mesh = make_mesh(4, 2)
-    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(2)), mesh)
+    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(2)), mesh, model)
     out2, m2 = make_train_step(model, opt, mesh=mesh, donate=False)(ts2, x, y)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
@@ -99,7 +99,7 @@ def test_eval_step_on_mesh():
     mesh = make_mesh(8, 1)
     model = AlexNet(num_classes=3, image_size=64)
     opt = optim.sgd(1e-2)
-    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)), mesh, model)
     ev = make_eval_step(model, mesh=mesh)
     m = ev(ts.params, ts.state, jnp.zeros((16, 64, 64, 3), jnp.uint8),
            jnp.zeros(16, jnp.int32))
@@ -117,3 +117,123 @@ def test_graft_entry_compiles():
     probs = jax.jit(fn)(*args)
     assert probs.shape == (8, 3)
     np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0, rtol=1e-5)
+
+
+# ---------------- device-resident dataset x mesh (VERDICT r1 item 2) --------
+
+
+def _toy_device_ds(n, size=64, mesh=None):
+    from cnn_tpu.data.device_dataset import DeviceDataset
+    rng = np.random.default_rng(42)
+    imgs = rng.integers(0, 256, (n, size, size, 3), np.uint8)
+    lbls = rng.integers(0, 3, (n,))
+    return DeviceDataset.from_arrays(imgs, lbls, mesh=mesh), imgs, lbls
+
+
+def test_device_dataset_dp8_matches_single_device():
+    """The sharded device-resident step (global sampling mode: identical
+    index sequence) reproduces the single-device step numerically."""
+    from cnn_tpu.data.device_dataset import make_device_train_step
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+
+    ds1, imgs, lbls = _toy_device_ds(n=32)
+    ts1 = create_train_state(model, opt, jax.random.key(3))
+    step1 = make_device_train_step(model, opt, ds1, 16, donate=False)
+    out1, m1 = step1(ts1)
+
+    mesh = make_mesh(8, 1)
+    from cnn_tpu.data.device_dataset import DeviceDataset
+    ds2 = DeviceDataset.from_arrays(imgs, lbls, mesh=mesh)
+    assert ds2.n == 32  # divisible: no padding, same index space
+    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(3)),
+                            mesh, model)
+    step2 = make_device_train_step(model, opt, ds2, 16, donate=False,
+                                   mesh=mesh, sample_mode="global")
+    out2, m2 = step2(ts2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    assert int(m1["correct"]) == int(m2["correct"])
+    for a, b in zip(jax.tree_util.tree_leaves(out1.params),
+                    jax.tree_util.tree_leaves(out2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_device_dataset_local_sampling_pairs_and_progress():
+    """Shard-local sampling keeps (image, label) pairs intact across the
+    mesh and the collective-free step trains."""
+    from cnn_tpu.data.device_dataset import (DeviceDataset, _make_sampler,
+                                             make_device_train_step)
+    mesh = make_mesh(8, 1)
+    # image i is constant-valued i; label i = i % 3 -> any mismatch after
+    # sharded sampling breaks the pairing invariant
+    n = 40
+    imgs = np.tile(np.arange(n, dtype=np.uint8)[:, None, None, None],
+                   (1, 64, 64, 3))
+    lbls = np.arange(n, dtype=np.int32) % 3
+    ds = DeviceDataset.from_arrays(imgs, lbls, mesh=mesh)
+    sampler = jax.jit(_make_sampler(ds, 32, mesh, "local"))
+    xs, ys = sampler(jax.random.key(0), ds.images, ds.labels)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    assert (xs == xs[:, :1, :1, :1]).all()  # still constant images
+    ids = xs[:, 0, 0, 0].astype(np.int64)
+    np.testing.assert_array_equal(ids % 3, ys)
+    # sub-batches draw from disjoint local shards (stratified sampling):
+    # shard d holds rows [d*5, (d+1)*5) of the padded 40-row dataset
+    ids = ids.reshape(8, 4)
+    for d in range(8):
+        assert ((ids[d] >= d * 5) & (ids[d] < (d + 1) * 5)).all(), (d, ids[d])
+
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(4)),
+                           mesh, model)
+    step = make_device_train_step(model, opt, ds, 32, donate=False, mesh=mesh)
+    losses = []
+    for _ in range(5):
+        ts, m = step(ts)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # constant-image toy problem: learnable
+    assert int(ts.step) == 5
+
+
+def test_device_dataset_padding_to_shard_divisible():
+    from cnn_tpu.data.device_dataset import DeviceDataset
+    mesh = make_mesh(8, 1)
+    ds, _, _ = _toy_device_ds(n=13, mesh=mesh)
+    assert ds.n == 16  # padded up to the next multiple of 8
+    assert ds.images.shape[0] == 16 and ds.labels.shape[0] == 16
+
+
+def test_spec_driven_sharding_custom_names():
+    """Sharding intent comes from Layer.param_pspecs, not layer-name
+    matching: a dense layer named anything still TP-shards."""
+    from cnn_tpu.nn.module import Flatten, Linear, ReLU
+    from cnn_tpu.nn.sequential import Sequential
+
+    class Tiny:
+        def __init__(self):
+            self.net = Sequential([
+                Flatten("reshape_in"),
+                Linear("mystery_projection", in_features=48, out_features=16),
+                ReLU("act"),
+                Linear("the_decider", in_features=16, out_features=3),
+            ])
+        layers = property(lambda self: self.net.layers)
+        init = lambda self, key, dtype=jnp.float32: self.net.init(key, dtype)
+        def apply(self, params, state, x, **kw):
+            return self.net.apply(params, state, x, **kw)
+
+    mesh = make_mesh(4, 2)
+    model = Tiny()
+    opt = optim.sgd(1e-2)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)),
+                           mesh, model)
+    assert "model" in str(ts.params["mystery_projection"]["w"].sharding.spec)
+    assert "model" in str(ts.params["the_decider"]["w"].sharding.spec)
+    step = make_train_step(model, opt, mesh=mesh, donate=False)
+    ts, m = step(ts, jnp.zeros((8, 4, 4, 3), jnp.float32),
+                 jnp.arange(8, dtype=jnp.int32) % 3)
+    assert np.isfinite(float(m["loss"]))

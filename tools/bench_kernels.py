@@ -1,7 +1,8 @@
 """Benchmark Pallas kernels vs their XLA twins on real TPU hardware.
 
-Run: python tools/bench_kernels.py
-Numbers decide the default path per shape (documented in the kernel files).
+Run: python tools/bench_kernels.py [out.json]
+Numbers decide the default path per shape (documented in the kernel files);
+results are committed as BENCH_kernels.json for the record.
 """
 
 from __future__ import annotations
@@ -45,9 +46,42 @@ def correctness(tag, a, b, exact=False, tol=1e-5):
     return ok
 
 
-def main():
+def main(out_path="BENCH_kernels.json"):
     rng = np.random.default_rng(0)
     print(f"backend: {jax.default_backend()}")
+    results = []
+
+    def record(kernel, shape, t_pl, t_xla, default):
+        results.append({
+            "kernel": kernel, "shape": list(shape),
+            "pallas_ms": round(1e3 * t_pl, 3), "xla_ms": round(1e3 * t_xla, 3),
+            "speedup_vs_xla": round(t_xla / t_pl, 2), "default": default,
+        })
+
+    # ---- three-shear rotation (the full-augmentation hot spot) ----
+    from cnn_tpu.ops.pallas.augment import rotate_shear_pallas, rotate_shear_xla
+    from cnn_tpu.ops.augment import augment_batch, augment_batch_fast
+    xr = jnp.asarray(rng.random((256, 256, 256, 3), np.float32))
+    theta = jnp.asarray(rng.uniform(-1.2, 1.2, (256,)), jnp.float32)
+    f_pl = jax.jit(rotate_shear_pallas)
+    f_xla = jax.jit(rotate_shear_xla)
+    correctness("rotate", f_pl(xr, theta), f_xla(xr, theta), exact=True)
+    t_pl, t_xla = timeit(f_pl, xr, theta, iters=20), timeit(f_xla, xr, theta, iters=10)
+    print(f"rotate bs=256: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
+    record("rotate_shear", xr.shape, t_pl, t_xla, "pallas")
+
+    xu = jnp.asarray(rng.integers(0, 256, (256, 256, 256, 3)).astype(np.uint8))
+    f_full = jax.jit(lambda k, x: augment_batch(k, x, out_size=224))
+    f_fast = jax.jit(lambda k, x: augment_batch_fast(k, x, out_size=224))
+    t_full = timeit(f_full, jax.random.key(0), xu, iters=20)
+    t_fast = timeit(f_fast, jax.random.key(0), xu, iters=20)
+    print(f"augment full {1e3*t_full:.2f} ms vs fast {1e3*t_fast:.2f} ms "
+          f"({t_full/t_fast:.2f}x)")
+    results.append({"kernel": "augment_full_policy", "shape": list(xu.shape),
+                    "full_ms": round(1e3 * t_full, 3),
+                    "fast_ms": round(1e3 * t_fast, 3),
+                    "full_over_fast": round(t_full / t_fast, 2),
+                    "default": "pallas rotate inside full policy"})
 
     # ---- normalize ----
     x = jnp.asarray(rng.integers(0, 256, (256, 224, 224, 3), dtype=np.uint8))
@@ -56,6 +90,7 @@ def main():
     correctness("normalize", f_pl(x), f_xla(x), tol=2e-7)
     t_pl, t_xla = timeit(f_pl, x), timeit(f_xla, x)
     print(f"normalize bs=256: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
+    record("uint8_normalize", x.shape, t_pl, t_xla, "xla")
 
     # ---- maxpool fwd+bwd (the conv1->pool shape: 111x111x16) ----
     x = jnp.asarray(rng.standard_normal((256, 111, 111, 16)).astype(np.float32))
@@ -77,6 +112,7 @@ def main():
     correctness("pool bwd", d1, d2, exact=True)
     t_pl, t_xla = timeit(pool_pl_j, x, g), timeit(pool_xla_j, x, g)
     print(f"maxpool fwd+bwd bs=256: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
+    record("maxpool_fwd_bwd", x.shape, t_pl, t_xla, "xla")
 
     # ---- fused conv+bias+relu, each model layer shape ----
     # conv1's full-image block (224x224, Cin=3 padded to 128 lanes) exceeds
@@ -99,7 +135,15 @@ def main():
         t_pl = timeit(f_pl, x, p["w"], p["b"], iters=20)
         t_xla = timeit(f_xla, x, p["w"], p["b"], iters=20)
         print(f"{name} {shape}: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
+        record(f"conv_bias_relu_{name}", shape, t_pl, t_xla, "xla")
+
+    import json
+    with open(out_path, "w") as f:
+        json.dump({"device": jax.devices()[0].device_kind,
+                   "results": results}, f, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(*sys.argv[1:2])
