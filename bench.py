@@ -21,6 +21,58 @@ import numpy as np
 BASELINE_TRAIN_IMGS_PER_SEC = 30.5732   # BASELINE.md, measured reference
 BASELINE_INFER_P50_MS = 29.91
 
+# bf16 peak of one chip, by device_kind prefix (for the MFU report)
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v4": 275e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+}
+
+
+def analytic_train_flops_per_image(model) -> float:
+    """MXU FLOPs of one train step per image, from the layer shapes.
+
+    Per conv: forward = 2*Ho*Wo*k^2*Cin*Cout; backward adds dW (same count)
+    and dx (same count, skipped for the first layer — params-only grad).
+    Dense layers analogous. Elementwise ops (ReLU/BN/pool/loss) are
+    excluded: they are >100x smaller and run on the VPU.
+    """
+    from cnn_tpu.nn.module import Conv2D, Linear
+
+    s = model.image_size
+    shape = (s, s, 3)
+    total, first_param_layer = 0.0, True
+    for layer in model.net.layers:
+        if isinstance(layer, Conv2D):
+            ho, wo, _ = layer.out_shape(shape)
+            fwd = 2.0 * ho * wo * layer.kernel_size ** 2 \
+                * layer.in_channels * layer.out_channels
+            total += fwd * (2.0 if first_param_layer else 3.0)
+            first_param_layer = False
+        elif isinstance(layer, Linear):
+            fwd = 2.0 * layer.in_features * layer.out_features
+            total += fwd * (2.0 if first_param_layer else 3.0)
+            first_param_layer = False
+        shape = layer.out_shape(shape)
+    return total
+
+
+def best_committed_accuracy() -> float | None:
+    """Best valid accuracy across committed checkpoint filenames — parsed,
+    not hardcoded (the filenames encode it, reference cnn.cpp:121-124)."""
+    import glob
+    import os
+
+    from cnn_tpu.utils.checkpoint import parse_checkpoint_name
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "checkpoints", "*", "*.ckpt")):
+        parsed = parse_checkpoint_name(os.path.basename(path))
+        if parsed:
+            acc = parsed[2]
+            best = acc if best is None else max(best, acc)
+    return best
+
 
 def measure_train(compute_dtype, batch_size: int, iters: int = 40,
                   repeats: int = 3) -> float:
@@ -136,6 +188,31 @@ def measure_infer_p50(n: int = 50) -> float:
     return 1e3 * float(np.percentile(lat, 50))
 
 
+def measure_infer_stream(n: int = 200, depth: int = 8) -> float:
+    """Steady-state per-image latency of a pipelined request STREAM
+    (serving.InferenceEngine.predict_stream): dispatch and device->host
+    copies overlap across ``depth`` in-flight requests, so the per-request
+    blocking round trip is amortized. The honest one-at-a-time number is
+    ``infer_p50_ms``."""
+    import jax
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.serving import InferenceEngine
+
+    model = AlexNet(num_classes=3)
+    params, state = model.init(jax.random.key(0))
+    engine = InferenceEngine(model, params, state, buckets=(1,))
+    engine.warmup()
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (n, 224, 224, 3), dtype=np.uint8)
+    # warm the stream path once
+    for _ in engine.predict_stream(imgs[:depth * 2], depth=depth):
+        pass
+    t0 = time.perf_counter()
+    for _ in engine.predict_stream(imgs, depth=depth):
+        pass
+    return 1e3 * (time.perf_counter() - t0) / n
+
+
 def check_parity() -> float | None:
     """Worst logit deviation vs the C++ reference fixtures (None if absent)."""
     import os
@@ -172,8 +249,20 @@ def main():
     f32 = measure_train(None, batch_size=256, iters=30)
     e2e = measure_train_e2e()
     infer_p50 = measure_infer_p50()
+    infer_stream = measure_infer_stream()
     infer_dev = measure_infer_device_ms()
     parity = check_parity()
+
+    from cnn_tpu.models import AlexNet
+    flops_img = analytic_train_flops_per_image(AlexNet(num_classes=3))
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items()
+                 if jax.devices()[0].device_kind.startswith(k)), 197e12)
+    # roofline context: 111k-param model, Cin=3 first conv, 224px activations
+    # — the step is activation-bandwidth/overhead bound, not MXU bound, so
+    # single-digit MFU is the physics of this model shape, not a tuning gap
+    mfu = bf16 * flops_img / peak
+
+    best_acc = best_committed_accuracy()
 
     result = {
         "metric": "train_images_per_sec_per_chip",
@@ -184,9 +273,14 @@ def main():
         "train_images_per_sec_f32": round(f32, 1),
         "train_e2e_images_per_sec": round(e2e, 1),
         "train_e2e_vs_baseline": round(e2e / BASELINE_TRAIN_IMGS_PER_SEC, 1),
-        "best_valid_accuracy": 0.940,  # checkpoints/alexnet_bn_device (ref: 0.913)
+        "best_valid_accuracy": best_acc,  # parsed from committed checkpoints
+        "train_flops_per_image": round(flops_img),
+        "mfu_pct": round(100 * mfu, 2),
+        "peak_bf16_tflops": round(peak / 1e12),
         "infer_p50_ms": round(infer_p50, 2),
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
+        "infer_stream_ms_per_image": round(infer_stream, 2),
+        "infer_stream_vs_baseline": round(BASELINE_INFER_P50_MS / infer_stream, 1),
         "infer_device_ms": round(infer_dev, 3),
         "infer_device_vs_baseline": round(BASELINE_INFER_P50_MS / infer_dev, 1),
         "logit_parity_max_dev": parity if parity is None else float(f"{parity:.3g}"),

@@ -7,11 +7,18 @@ normalizes by batch stats and updates
 uses moving stats (``:81-94``). Its hand-derived backward
 (``:100-158``) is the standard BN VJP, so autograd matches.
 
-The reference's eval mode is acknowledged broken (``README.md:15``): it
-initializes ``moving_var`` to ZERO (``batchnorm2d.cpp:20``) and uses plain
-(biased-at-start) EMA, so early-eval statistics are tiny and wrong. We fix
-this by initializing ``moving_var`` to 1. A ``compat_zero_var_init`` flag
-reproduces the reference behavior for parity studies.
+The reference's eval mode is acknowledged broken (``README.md:15``). We
+MEASURED the mechanism (``tools/reference_oracle/bn_gap.cpp``, r2): after
+400 iters at the reference's bs=4, the unmodified C++ scores the SAME 72
+images at 1.000 in train mode but 0.833 in eval mode. The momentum-0.1 EMA
+is long converged by then, so the zero ``moving_var`` init
+(``batchnorm2d.cpp:20``) is NOT the cause — the gap is the tiny-batch
+statistics mismatch (features co-adapt to 4-sample normalization).
+``tests/test_bn_compat.py`` reproduces the gap direction under the same
+protocol; our flagship runs train BN at bs=256 where it vanishes. We still
+initialize ``moving_var`` to 1 (sane early-eval); ``compat_zero_var_init``
+reproduces the reference's zero init bit-for-bit for init-parity studies
+(it only matters in the first ~dozens of steps).
 
 Functional design: batch stats are *state*, not params — ``batch_norm2d``
 returns ``(y, new_state)`` and takes ``train: bool`` explicitly, replacing

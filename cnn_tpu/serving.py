@@ -80,6 +80,37 @@ class InferenceEngine:
             probs_out.append(p[:rem])
         return (np.concatenate(labels_out), np.concatenate(probs_out))
 
+    def predict_stream(self, images_iter, depth: int = 8):
+        """Pipelined request stream: dispatch each request WITHOUT blocking,
+        start its device->host copy asynchronously, and only materialize a
+        result once ``depth`` requests are in flight. Steady-state per-image
+        latency is then bounded by max(dispatch, compute, link throughput)
+        instead of the full blocking round trip per request — on tunneled
+        setups the blocking path pays a ~30 ms RPC per fetch that this
+        overlaps. Yields (label int, probs [C]) in submission order.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def drain_one():
+            labels, probs = inflight.popleft()
+            return int(np.asarray(labels)[0]), np.asarray(probs)[0]
+
+        compiled = self._get_compiled(1)
+        for img in images_iter:
+            out = compiled(self.params, self.state, jnp.asarray(img[None]))
+            for a in out:
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # backends without async D2H
+                    pass
+            inflight.append(out)
+            if len(inflight) >= depth:
+                yield drain_one()
+        while inflight:
+            yield drain_one()
+
     def _run(self, bucket: int, chunk: np.ndarray):
         rem = chunk.shape[0]
         assert rem <= bucket, (rem, bucket)

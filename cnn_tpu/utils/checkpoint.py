@@ -135,7 +135,13 @@ def _param_layers(net: Sequential):
             yield layer
 
 
-def reference_param_count(net: Sequential) -> int:
+def reference_param_count(net: Sequential, bn_vectors: int = 4) -> int:
+    """``bn_vectors=4`` is the current C++ save format (gamma, beta,
+    moving_mean, moving_var — batchnorm2d.cpp:168-174); ``bn_vectors=2`` is
+    the older gamma/beta-only format that the committed
+    ``checkpoints/AlexNet_bn/*.model`` artifacts were written with (they are
+    1,920 bytes short of the current format and the reference's own current
+    loader can no longer read them)."""
     n = 0
     for layer in _param_layers(net):
         if isinstance(layer, Conv2D):
@@ -143,7 +149,7 @@ def reference_param_count(net: Sequential) -> int:
         elif isinstance(layer, Linear):
             n += layer.in_features * layer.out_features + layer.out_features
         elif isinstance(layer, BatchNorm2D):
-            n += 4 * layer.num_channels
+            n += bn_vectors * layer.num_channels
     return n
 
 
@@ -157,8 +163,11 @@ def import_reference_model(path: str, net: Sequential,
     """
     raw = np.fromfile(path, dtype="<f4")
     expected = reference_param_count(net)
-    assert raw.size == expected, (
-        f"{path}: has {raw.size} f32, model needs {expected}")
+    legacy = reference_param_count(net, bn_vectors=2)
+    legacy_bn = raw.size == legacy != expected
+    assert raw.size in (expected, legacy), (
+        f"{path}: has {raw.size} f32, model needs {expected} "
+        f"(or {legacy} in the legacy 2-vector-BN format)")
 
     params: dict = {}
     state: dict = {}
@@ -195,8 +204,14 @@ def import_reference_model(path: str, net: Sequential,
             n = layer.num_channels
             params[layer.name] = {"gamma": jnp.asarray(take(n).copy()),
                                   "beta": jnp.asarray(take(n).copy())}
-            state[layer.name] = {"mean": jnp.asarray(take(n).copy()),
-                                 "var": jnp.asarray(take(n).copy())}
+            if legacy_bn:
+                # the old save format carried no moving stats; identity
+                # stats make the weights usable for (approximate) eval
+                state[layer.name] = {"mean": jnp.zeros((n,), jnp.float32),
+                                     "var": jnp.ones((n,), jnp.float32)}
+            else:
+                state[layer.name] = {"mean": jnp.asarray(take(n).copy()),
+                                     "var": jnp.asarray(take(n).copy())}
     assert pos == raw.size
     return params, state
 
