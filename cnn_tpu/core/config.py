@@ -83,6 +83,9 @@ class TrainConfig:
     model_parallel: int = 1
     multihost: bool = False         # jax.distributed.initialize() for multi-host
                                     # slices (same SPMD code; DCN joins the mesh)
+    coordinator: str = ""           # host:port of process 0 ('' = from env)
+    num_processes: int = 0          # 0 = from env / TPU metadata
+    process_id: int = -1            # -1 = from env / TPU metadata
     donate: bool = True
 
 

@@ -70,9 +70,21 @@ class DeviceDataset:
                 imgs = np.concatenate([imgs, imgs[:pad]])
                 lbls = np.concatenate([lbls, lbls[:pad]])
             self.n = len(imgs)
-            sharding = NamedSharding(mesh, P("data", None, None, None))
-            self.images = jax.device_put(imgs, sharding)
-            self.labels = jax.device_put(lbls, NamedSharding(mesh, P("data")))
+            img_sh = NamedSharding(mesh, P("data", None, None, None))
+            lbl_sh = NamedSharding(mesh, P("data"))
+            if jax.process_count() > 1:
+                # multi-host: device_put cannot target non-addressable
+                # devices; each process contributes the contiguous row range
+                # its shards own (mesh device order is process-major)
+                npp = self.n // jax.process_count()
+                lo = npp * jax.process_index()
+                self.images = jax.make_array_from_process_local_data(
+                    img_sh, imgs[lo:lo + npp], imgs.shape)
+                self.labels = jax.make_array_from_process_local_data(
+                    lbl_sh, lbls[lo:lo + npp], lbls.shape)
+            else:
+                self.images = jax.device_put(imgs, img_sh)
+                self.labels = jax.device_put(lbls, lbl_sh)
         else:
             self.images = (jax.device_put(imgs, sharding)
                            if sharding is not None else jax.device_put(imgs))

@@ -137,10 +137,16 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None):
 
     batch_sharding = NamedSharding(mesh, P("data"))
 
+    replicated = NamedSharding(mesh, P())
+
     def shard_step(params, state, images, labels):
         images = jax.lax.with_sharding_constraint(images, batch_sharding)
         labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
-        return step(params, state, images, labels)
+        out = step(params, state, images, labels)
+        # per-sample predictions must be host-fetchable on every process
+        # (multi-host: a 'data'-sharded array spans non-addressable devices)
+        out["pred"] = jax.lax.with_sharding_constraint(out["pred"], replicated)
+        return out
 
     return jax.jit(shard_step)
 
@@ -208,6 +214,18 @@ def shard_train_state(ts: TrainState, mesh: Mesh, model=None) -> TrainState:
                 if ok:
                     return NamedSharding(mesh, spec)
         return replicated
+
+    if jax.process_count() > 1:
+        # multi-host: device_put cannot target non-addressable devices, but
+        # jit output shardings can place replicated host values anywhere on
+        # the global mesh (every process holds identical state)
+        sharding_tree = TrainState(
+            params=jax.tree_util.tree_map_with_path(leaf_sharding, ts.params),
+            state=jax.tree_util.tree_map_with_path(leaf_sharding, ts.state),
+            opt_state=jax.tree_util.tree_map_with_path(leaf_sharding,
+                                                       ts.opt_state),
+            step=replicated, rng=replicated)
+        return jax.jit(lambda t: t, out_shardings=sharding_tree)(ts)
 
     def place(tree):
         return jax.tree_util.tree_map_with_path(

@@ -65,11 +65,20 @@ def main(argv=None):
 
     if train_cfg.multihost:
         # multi-host SPMD: every host runs this same program; the mesh spans
-        # all hosts' devices and XLA routes collectives over ICI/DCN. Each
-        # host feeds only its addressable shard of the global batch.
-        jax.distributed.initialize()
+        # all hosts' devices and XLA routes collectives over ICI/DCN (CPU
+        # smoke: tools/multihost_smoke.py + tests/test_multihost.py). The
+        # seeded host loader produces IDENTICAL global batches on every
+        # process, so uncommitted inputs are valid replicated global arrays
+        # that the sharding constraint then splits locally.
+        kwargs = {}
+        if train_cfg.coordinator:
+            kwargs = dict(coordinator_address=train_cfg.coordinator,
+                          num_processes=train_cfg.num_processes,
+                          process_id=train_cfg.process_id)
+        jax.distributed.initialize(**kwargs)
         print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
 
+    is_main = jax.process_index() == 0
     samples = discover_dataset(data_cfg.dataset_path, data_cfg.categories)
     splits = split_dataset(samples, data_cfg.train_ratio, data_cfg.test_ratio,
                            data_cfg.split_seed)
@@ -170,8 +179,11 @@ def main(argv=None):
     eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
-    history = HistoryWriter(train_cfg.history_path or
-                            os.path.join(train_cfg.checkpoint_dir, "history.jsonl"))
+    history = HistoryWriter(
+        train_cfg.history_path
+        or os.path.join(train_cfg.checkpoint_dir,
+                        "history.jsonl" if is_main
+                        else f"history.p{jax.process_index()}.jsonl"))
     train_eval = ClassificationEvaluator()
     mean_loss = MeanLoss()
     best_acc, best_path = -1.0, None
@@ -220,8 +232,9 @@ def main(argv=None):
                 if it % train_cfg.save_iters == 0:
                     name = checkpoint_name(it, train_eval.get(), v_acc)
                     path = os.path.join(train_cfg.checkpoint_dir, name)
-                    save_checkpoint(path, ts)
-                    print(f"weights have been saved to {path}")
+                    if is_main:  # one writer per shared checkpoint dir
+                        save_checkpoint(path, ts)
+                        print(f"weights have been saved to {path}")
                     if v_acc > best_acc:
                         best_acc, best_path = v_acc, path
                 mean_loss.clear()
@@ -233,6 +246,8 @@ def main(argv=None):
     history.close()
     print("\ntraining done!")
 
+    if best_path and not os.path.exists(best_path):
+        best_path = None            # non-main multihost process: no file
     if best_path:
         print(f"best checkpoint: {best_path} (valid acc {best_acc:.3f})")
         ts = load_checkpoint(best_path)
