@@ -103,33 +103,38 @@ def measure_train(compute_dtype, batch_size: int, iters: int = 40,
     return best
 
 
-def measure_train_e2e(batch_size: int = 256, iters: int = 40) -> float:
+def measure_train_e2e(batch_size: int = 256, iters: int = 40,
+                      augment: str = "fast") -> float:
     """End-to-end training throughput: on-device batch sampling + fused
     augmentation + train step (the device-resident-dataset path that beat
     the reference's accuracy — BASELINE.md). Synthetic resident data skips
-    the one-time decode/upload."""
+    the one-time decode/upload. ``augment``: 'fast' (flips+crop) or 'full'
+    (the complete reference policy incl. the Pallas shear rotation)."""
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
     from cnn_tpu.data.device_dataset import make_device_train_step
     from cnn_tpu.models import AlexNet
-    from cnn_tpu.ops.augment import augment_batch_fast
+    from cnn_tpu.ops.augment import augment_batch, augment_batch_fast
     from cnn_tpu.parallel import create_train_state
 
     class _DS:
         n = 2400
+        mesh = None
 
     ds = _DS()
     ds.images = jax.device_put(np.random.default_rng(0).integers(
         0, 256, (ds.n, 256, 256, 3), dtype=np.uint8))
     ds.labels = jax.device_put((np.arange(ds.n) % 3).astype(np.int32))
 
+    aug = augment_batch_fast if augment == "fast" else augment_batch
     model = AlexNet(num_classes=3, batch_norm=True)
     opt = optim.make_optimizer("momentum", 1e-2, 0.9)
     ts = create_train_state(model, opt, jax.random.key(0))
     step = make_device_train_step(
         model, opt, ds, batch_size, compute_dtype=jnp.bfloat16,
-        augment_fn=lambda r, im: augment_batch_fast(r, im, out_size=224))
+        augment_fn=lambda r, im: aug(r, im, out_size=224,
+                                     dtype=jnp.bfloat16))
     ts, m = step(ts)
     float(m["loss"])
     t0 = time.perf_counter()
@@ -248,6 +253,7 @@ def main():
                          batch_size=1024)
     f32 = measure_train(None, batch_size=256, iters=30)
     e2e = measure_train_e2e()
+    e2e_full = measure_train_e2e(augment="full")
     infer_p50 = measure_infer_p50()
     infer_stream = measure_infer_stream()
     infer_dev = measure_infer_device_ms()
@@ -273,6 +279,9 @@ def main():
         "train_images_per_sec_f32": round(f32, 1),
         "train_e2e_images_per_sec": round(e2e, 1),
         "train_e2e_vs_baseline": round(e2e / BASELINE_TRAIN_IMGS_PER_SEC, 1),
+        "train_e2e_full_aug_images_per_sec": round(e2e_full, 1),
+        "train_e2e_full_aug_vs_baseline": round(
+            e2e_full / BASELINE_TRAIN_IMGS_PER_SEC, 1),
         "best_valid_accuracy": best_acc,  # parsed from committed checkpoints
         "train_flops_per_image": round(flops_img),
         "mfu_pct": round(100 * mfu, 2),

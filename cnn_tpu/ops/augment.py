@@ -102,10 +102,11 @@ def _sample_one(img, matrix, out_size: int):
 
 
 @partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
-                                   "crop_p"))
+                                   "crop_p", "dtype"))
 def augment_batch_fast(rng: jax.Array, images: jnp.ndarray,
                        out_size: int = 224, hflip_p: float = 0.5,
-                       vflip_p: float = 0.2, crop_p: float = 0.7) -> jnp.ndarray:
+                       vflip_p: float = 0.2, crop_p: float = 0.7,
+                       dtype=jnp.float32) -> jnp.ndarray:
     """Gather-free augmentation: flips + random-resized-crop only.
 
     ``map_coordinates`` (the rotation path in ``augment_batch``) lowers to
@@ -117,9 +118,9 @@ def augment_batch_fast(rng: jax.Array, images: jnp.ndarray,
     """
     b, s, s2, _ = images.shape
     assert s == s2
-    x = images.astype(jnp.float32)
+    x = images.astype(dtype)
     if images.dtype == jnp.uint8:
-        x = x / 255.0
+        x = x / dtype(255.0)
 
     def one(img, key):
         k_h, k_v, k_c, k_cy, k_cx, k_do = jax.random.split(key, 6)
@@ -204,10 +205,11 @@ def _rotate_shear(img: jnp.ndarray, theta) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("out_size", "hflip_p", "vflip_p",
-                                   "crop_p", "rotate_p"))
+                                   "crop_p", "rotate_p", "dtype"))
 def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
                   hflip_p: float = 0.5, vflip_p: float = 0.2,
-                  crop_p: float = 0.7, rotate_p: float = 0.5) -> jnp.ndarray:
+                  crop_p: float = 0.7, rotate_p: float = 0.5,
+                  dtype=jnp.float32) -> jnp.ndarray:
     """[B,S,S,C] uint8/float canvases -> [B,out,out,C] f32 in [0,1].
 
     The FULL reference policy (hflip/vflip/crop/rotate, pipeline.h:34) with
@@ -220,9 +222,9 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
     """
     b, s, s2, _ = images.shape
     assert s == s2, "square canvases expected"
-    x = images.astype(jnp.float32)
+    x = images.astype(dtype)
     if images.dtype == jnp.uint8:
-        x = x / 255.0
+        x = x / dtype(255.0)
 
     cs = (s - 1) / 2.0
     keys = jax.random.split(rng, b)

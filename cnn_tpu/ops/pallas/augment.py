@@ -52,9 +52,9 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
     shifts; ``s2``: [1, s*c] per-lane px shifts; ``roll(x, shift, axis)``.
     """
     plc = pad_l * c
+    dt = img.dtype
     # Mosaic has no scatter: build padded arrays with jnp.pad (concats)
-    x = jnp.pad(img.astype(jnp.float32),
-                ((pad_s, sub - pad_s - s), (plc, lane - plc - s * c)))
+    x = jnp.pad(img, ((pad_s, sub - pad_s - s), (plc, lane - plc - s * c)))
 
     row_idx = lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
     lane_idx = lax.broadcasted_iota(jnp.int32, (1, lane), 1)
@@ -68,28 +68,28 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
     def lane_shear(x, shifts):
         # out[y, u] = x[y, u + c*shifts[y]]  (bilinear, window-invariant)
         k = jnp.floor(shifts)
-        a = pad_rows(shifts - k, 0.0)
+        a = pad_rows(shifts - k, 0.0).astype(dt)
         ki = pad_rows(k.astype(jnp.int32) + pad_l, pad_l)
         for j in range((2 * pad_l).bit_length()):
             bit = ((ki >> j) & 1) == 1
             x = jnp.where(bit, roll(x, -(c << j), 1), x)
-        x = x * (1.0 - a) + roll(x, -c, 1) * a
+        x = x * (dt.type(1) - a) + roll(x, -c, 1) * a
         x = roll(x, pad_l * c, 1)                  # re-center the window
-        return jnp.where(in_lanes, x, 0.0)         # drop wrapped junk
+        return jnp.where(in_lanes, x, dt.type(0))  # drop wrapped junk
 
     def sublane_shear(x, shifts):
         # out[y, u] = x[y + shifts[u], u]
         k = jnp.floor(shifts)
         lane_pad = ((0, 0), (plc, lane - plc - s * c))
-        a = jnp.pad(shifts - k, lane_pad)
+        a = jnp.pad(shifts - k, lane_pad).astype(dt)
         ki = jnp.pad(k.astype(jnp.int32) + pad_s, lane_pad,
                      constant_values=pad_s)
         for j in range((2 * pad_s).bit_length()):
             bit = ((ki >> j) & 1) == 1
             x = jnp.where(bit, roll(x, -(1 << j), 0), x)
-        x = x * (1.0 - a) + roll(x, -1, 0) * a
+        x = x * (dt.type(1) - a) + roll(x, -1, 0) * a
         x = roll(x, pad_s, 0)
-        return jnp.where(in_rows, x, 0.0)
+        return jnp.where(in_rows, x, dt.type(0))
 
     x = lane_shear(x, s1)
     x = sublane_shear(x, s2)
@@ -97,12 +97,26 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
     return x[pad_s:pad_s + s, plc:plc + s * c]
 
 
-def _kernel(img_ref, s1_ref, s2_ref, s3_ref, out_ref, **dims):
+def _roll_tpu(x, k, ax):
     # pltpu.roll rejects negative shifts; a left-roll by k is a roll by
-    # size - k (circular)
+    # size - k (circular). Mosaic's rotate only handles 32-bit data, so
+    # narrow dtypes roll as a concat of two static slices instead.
+    n = x.shape[ax]
+    k = k % n
+    if x.dtype.itemsize != 4:
+        if k == 0:
+            return x
+        # right-roll by k == concat(tail of n-k.., head of ..n-k)
+        cut = n - k
+        lo = (slice(None), slice(cut, None)) if ax else (slice(cut, None),)
+        hi = (slice(None), slice(None, cut)) if ax else (slice(None, cut),)
+        return jnp.concatenate([x[(*lo,)], x[(*hi,)]], axis=ax)
+    return pltpu.roll(x, k, axis=ax)
+
+
+def _kernel(img_ref, s1_ref, s2_ref, s3_ref, out_ref, **dims):
     out_ref[0] = _rotate_core(
-        img_ref[0], s1_ref[0], s2_ref[0], s3_ref[0],
-        roll=lambda x, k, ax: pltpu.roll(x, k % x.shape[ax], axis=ax), **dims)
+        img_ref[0], s1_ref[0], s2_ref[0], s3_ref[0], roll=_roll_tpu, **dims)
 
 
 def _geometry(s: int, c: int):
@@ -132,7 +146,7 @@ def rotate_shear_xla(imgs: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     b, s, s2_, c = imgs.shape
     dims = _geometry(s, c)
     s1, s2, s3 = _shift_vectors(theta, s, c)
-    flat = imgs.reshape(b, s, s * c).astype(jnp.float32)
+    flat = imgs.reshape(b, s, s * c)
     out = jax.vmap(lambda im, a1, a2, a3: _rotate_core(
         im, a1, a2, a3, roll=lambda x, k, ax: jnp.roll(x, k, axis=ax),
         **dims))(flat, s1, s2, s3)
@@ -150,10 +164,10 @@ def rotate_shear_pallas(imgs: jnp.ndarray, theta: jnp.ndarray,
     dims = _geometry(s, c)
     s1, s2v, s3 = _shift_vectors(theta, s, c)
     kern = partial(_kernel, **dims)
-    flat = imgs.reshape(b, s, s * c).astype(jnp.float32)
+    flat = imgs.reshape(b, s, s * c)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, s, s * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s, s * c), imgs.dtype),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, s, s * c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -149,7 +149,11 @@ def main(argv=None):
 
         if data_cfg.augment:
             def augment_fn(rng, images):
-                return aug(rng, images, out_size=data_cfg.image_size)
+                # augment in the compute dtype: the 8-bit-mantissa loss is
+                # below the uint8 input quantization, and the shear/resize
+                # passes are bandwidth-bound (2x faster in bf16)
+                return aug(rng, images, out_size=data_cfg.image_size,
+                           dtype=compute_dtype or jnp.float32)
             print(f"augmentation: on-device '{data_cfg.augment_mode}' "
                   "(fused into the train step)")
 
