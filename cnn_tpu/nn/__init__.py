@@ -9,5 +9,6 @@ from cnn_tpu.nn.module import (  # noqa: F401
     Linear,
     MaxPool2D,
     ReLU,
+    ResidualBlock,
 )
 from cnn_tpu.nn.sequential import Sequential  # noqa: F401

@@ -200,6 +200,57 @@ class BatchNorm2D(Layer):
 
 
 @dataclass(frozen=True)
+class ResidualBlock(Layer):
+    """Residual block: ``relu(body(x) + shortcut(x))``.
+
+    The reference's TODO #5 ("网络结构有点差劲", cnn.cpp:21) asks for better
+    architectures; residual composition is the standard answer and needs a
+    composite layer the reference's flat list cannot express. ``body`` is
+    any Sequential; the shortcut is identity, or a 1x1 strided projection
+    conv when the spatial/channel shape changes. Params/state nest under
+    this block's name as {"body": ..., "proj": ...}.
+    """
+    body: Any = None
+    proj: Optional[Any] = None    # Conv2D spec for the projection shortcut
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+        object.__setattr__(self, "has_state",
+                           any(l.has_state for l in self.body.layers))
+        object.__setattr__(self, "needs_rng",
+                           any(l.needs_rng for l in self.body.layers))
+
+    def init(self, key, dtype=jnp.float32):
+        k_body, k_proj = jax.random.split(key)
+        p_body, s_body = self.body.init(k_body, dtype)
+        params = {"body": p_body}
+        state = {"body": s_body} if self.has_state else None
+        if self.proj is not None:
+            p_proj, _ = self.proj.init(k_proj, dtype)
+            params["proj"] = p_proj
+        return params, state
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        body_state = (state or {}).get("body", {})
+        y, new_body_state, _ = self.body.apply(
+            params["body"], body_state, x, train=train, rng=rng,
+            compute_dtype=compute_dtype)
+        if self.proj is not None:
+            sc, _ = self.proj.apply(params["proj"], None, x, train=train,
+                                    compute_dtype=compute_dtype)
+        else:
+            sc = x
+        out = ops.relu(y + sc)
+        return out, ({"body": new_body_state} if self.has_state else state)
+
+    def out_shape(self, in_shape):
+        shape = in_shape
+        for l in self.body.layers:
+            shape = l.out_shape(shape)
+        return shape
+
+
+@dataclass(frozen=True)
 class Dropout(Layer):
     """Channel dropout (reference: ``Dropout``, dropout.cpp)."""
     p: float = 0.5

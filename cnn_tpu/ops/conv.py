@@ -38,7 +38,9 @@ def conv2d_init(key: jax.Array, in_channels: int, out_channels: int,
     (The reference divides by ``random_times=10``; distribution matched,
     stream parity is impossible across C++/threefry — see core/rng.py.)
     """
-    assert kernel_size % 2 == 1 and kernel_size >= 3, "kernel must be odd >= 3"
+    # the reference asserts odd k >= 3 (conv2d.cpp:14); k=1 is a superset
+    # for projection shortcuts (ResNet family)
+    assert kernel_size % 2 == 1 and kernel_size >= 1, "kernel must be odd >= 1"
     assert in_channels > 0 and out_channels > 0
     k_w, k_b = jax.random.split(key)
     w = jax.random.normal(k_w, (kernel_size, kernel_size, in_channels, out_channels),

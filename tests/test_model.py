@@ -246,3 +246,45 @@ def test_label_smoothing_and_weight_decay():
     opt_state = opt.init(params)
     new_params, _ = opt.update({"w": jnp.zeros((4,))}, opt_state, params)
     assert float(new_params["w"][0]) < 1.0
+
+
+def test_resnet_family_shapes_and_training():
+    """Third model family: residual blocks (composite layers), padded convs,
+    1x1 projection shortcuts — reference TODOs #5/#8 as supersets."""
+    from cnn_tpu.models import get_model
+
+    model = get_model("resnet10", num_classes=3, image_size=64)
+    shapes = dict(model.net.out_shapes((64, 64, 3)))
+    assert shapes["block_4"] == (4, 4, 128)
+    assert shapes["linear_1"] == (3,)
+
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(1))
+    step = make_train_step(model, opt, donate=False)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 64, 64, 3)), jnp.float32)
+    y = jnp.arange(8, dtype=jnp.int32) % 3
+    losses = []
+    for _ in range(6):
+        ts, m = step(ts, x, y)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6          # residual net learns
+    # BN state lives nested under the block and updates
+    assert "body" in ts.state["block_1"]
+    # grad-CAM style capture works on composite layers
+    logits, _, cap = model.apply(ts.params, ts.state,
+                                 x[:1], capture=("block_4",))
+    assert cap["block_4"].shape == (1, 4, 4, 128)
+
+
+def test_residual_block_identity_vs_projection():
+    from cnn_tpu.models.resnet import _block
+
+    b_id = _block("b", 32, 32, 1)
+    assert b_id.proj is None
+    b_proj = _block("b", 16, 32, 2)
+    assert b_proj.proj is not None and b_proj.proj.kernel_size == 1
+    params, state = b_proj.init(jax.random.key(0))
+    x = jnp.ones((2, 8, 8, 16))
+    y, _ = b_proj.apply(params, state, x, train=True)
+    assert y.shape == (2, 4, 4, 32)
+    assert float(jnp.min(y)) >= 0.0              # relu after the add
