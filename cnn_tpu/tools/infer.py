@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("images", nargs="*", default=DEFAULT_IMAGES)
     ap.add_argument("--checkpoint", default=DEFAULT_CKPT)
     ap.add_argument("--categories", default="dog,panda,bird")
+    ap.add_argument("--model", default="alexnet",
+                    help="model family (alexnet | vgg8 | resnet10 | ...)")
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--batch-norm", action="store_true",
                     help="checkpoint was trained with BatchNorm layers")
@@ -51,7 +53,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
-    model = get_model("alexnet", num_classes=len(categories),
+    model = get_model(args.model, num_classes=len(categories),
                       image_size=args.image_size, batch_norm=args.batch_norm)
     params, state = load_params(args.checkpoint, model)
     fwd = make_forward(model)

@@ -110,3 +110,30 @@ def test_train_cli_auto_resume(tmp_path, capsys):
                               "--start-iters", "3"]) == 0
     out = capsys.readouterr().out
     assert "resumed from" in out and "at step 2" in out
+
+
+def test_resnet_family_through_clis(tmp_path, capsys):
+    """Train -> infer -> gradcam with --model resnet10: the third family is
+    fully usable from the same CLIs."""
+    from cnn_tpu.tools import gradcam, infer, train
+
+    ck = str(tmp_path / "ck")
+    rc = train.main(["--name", "resnet10", "--total-iters", "4",
+                     "--valid-iters", "4", "--save-iters", "4",
+                     "--train-batch-size", "8", "--valid-batch-size", "64",
+                     "--image-size", "64", "--num-workers", "2",
+                     "--checkpoint-dir", ck])
+    assert rc == 0
+    ckpt = next(str(p) for p in os.listdir(ck) if p.endswith(".ckpt"))
+    ckpt = os.path.join(ck, ckpt)
+
+    rc = infer.main([f"{IMAGES}/dog.jpg", "--checkpoint", ckpt,
+                     "--model", "resnet10", "--image-size", "64"])
+    assert rc == 0
+    assert "classification:" in capsys.readouterr().out
+
+    rc = gradcam.main([f"{IMAGES}/dog.jpg", "--checkpoint", ckpt,
+                       "--model", "resnet10", "--layer", "block_4",
+                       "--image-size", "64", "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "0.png"))
