@@ -161,3 +161,18 @@ def test_rotate_shear_kernel_matches_xla_twin(rng):
     a = rotate_shear_pallas(jnp.asarray(imgs), theta, interpret=True)
     b = rotate_shear_xla(jnp.asarray(imgs), theta)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_rotate_shear_kernel_bf16_matches_twin(rng):
+    """bf16 path: Mosaic's rotate is 32-bit-only, so narrow dtypes roll via
+    two-slice concats — must still match the XLA twin exactly."""
+    from cnn_tpu.ops.pallas.augment import rotate_shear_pallas, rotate_shear_xla
+    s = 40
+    imgs = np.zeros((2, s, s, 3), np.float32)
+    imgs[:, 12:-12, 12:-12] = rng.random((2, 16, 16, 3), np.float32)
+    x = jnp.asarray(imgs).astype(jnp.bfloat16)
+    theta = jnp.asarray([0.7, -0.4], jnp.float32)
+    a = rotate_shear_pallas(x, theta, interpret=True).astype(jnp.float32)
+    b = rotate_shear_xla(x, theta).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert rotate_shear_pallas(x, theta, interpret=True).dtype == jnp.bfloat16

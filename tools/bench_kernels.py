@@ -68,11 +68,21 @@ def main(out_path="BENCH_kernels.json"):
     correctness("rotate", f_pl(xr, theta), f_xla(xr, theta), exact=True)
     t_pl, t_xla = timeit(f_pl, xr, theta, iters=20), timeit(f_xla, xr, theta, iters=10)
     print(f"rotate bs=256: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
-    record("rotate_shear", xr.shape, t_pl, t_xla, "pallas")
+    record("rotate_shear_f32", xr.shape, t_pl, t_xla, "pallas")
+
+    xrb = xr.astype(jnp.bfloat16)
+    correctness("rotate bf16", f_pl(xrb, theta).astype(jnp.float32),
+                f_xla(xrb, theta).astype(jnp.float32), exact=True)
+    t_pl = timeit(f_pl, xrb, theta, iters=20)
+    t_xla = timeit(f_xla, xrb, theta, iters=10)
+    print(f"rotate bf16 bs=256: pallas {1e3*t_pl:.3f} ms | xla {1e3*t_xla:.3f} ms")
+    record("rotate_shear_bf16", xrb.shape, t_pl, t_xla, "pallas")
 
     xu = jnp.asarray(rng.integers(0, 256, (256, 256, 256, 3)).astype(np.uint8))
-    f_full = jax.jit(lambda k, x: augment_batch(k, x, out_size=224))
-    f_fast = jax.jit(lambda k, x: augment_batch_fast(k, x, out_size=224))
+    f_full = jax.jit(lambda k, x: augment_batch(k, x, out_size=224,
+                                                dtype=jnp.bfloat16))
+    f_fast = jax.jit(lambda k, x: augment_batch_fast(k, x, out_size=224,
+                                                     dtype=jnp.bfloat16))
     t_full = timeit(f_full, jax.random.key(0), xu, iters=20)
     t_fast = timeit(f_fast, jax.random.key(0), xu, iters=20)
     print(f"augment full {1e3*t_full:.2f} ms vs fast {1e3*t_fast:.2f} ms "
@@ -81,7 +91,7 @@ def main(out_path="BENCH_kernels.json"):
                     "full_ms": round(1e3 * t_full, 3),
                     "fast_ms": round(1e3 * t_fast, 3),
                     "full_over_fast": round(t_full / t_fast, 2),
-                    "default": "pallas rotate inside full policy"})
+                    "default": "pallas rotate inside full policy (bf16)"})
 
     # ---- normalize ----
     x = jnp.asarray(rng.integers(0, 256, (256, 224, 224, 3), dtype=np.uint8))
