@@ -57,16 +57,27 @@ def analytic_train_flops_per_image(model) -> float:
 
 
 def best_committed_accuracy() -> float | None:
-    """Best valid accuracy across committed checkpoint filenames — parsed,
-    not hardcoded (the filenames encode it, reference cnn.cpp:121-124)."""
+    """Best valid accuracy across COMMITTED checkpoint filenames — parsed,
+    not hardcoded (the filenames encode it, reference cnn.cpp:121-124).
+    Only git-tracked files count, so untracked local scratch runs cannot
+    inflate the reported number; glob is the no-git fallback."""
     import glob
     import os
+    import subprocess
 
     from cnn_tpu.utils.checkpoint import parse_checkpoint_name
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "ls-files", "checkpoints/*.ckpt",
+             "checkpoints/**/*.ckpt"],
+            capture_output=True, text=True, timeout=30, check=True).stdout
+        paths = out.splitlines()
+    except Exception:
+        paths = glob.glob(os.path.join(here, "checkpoints", "*", "*.ckpt"))
     best = None
-    for path in glob.glob(os.path.join(here, "checkpoints", "*", "*.ckpt")):
+    for path in paths:
         parsed = parse_checkpoint_name(os.path.basename(path))
         if parsed:
             acc = parsed[2]
@@ -113,19 +124,15 @@ def measure_train_e2e(batch_size: int = 256, iters: int = 40,
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
-    from cnn_tpu.data.device_dataset import make_device_train_step
+    from cnn_tpu.data.device_dataset import DeviceDataset, make_device_train_step
     from cnn_tpu.models import AlexNet
     from cnn_tpu.ops.augment import augment_batch, augment_batch_fast
     from cnn_tpu.parallel import create_train_state
 
-    class _DS:
-        n = 2400
-        mesh = None
-
-    ds = _DS()
-    ds.images = jax.device_put(np.random.default_rng(0).integers(
-        0, 256, (ds.n, 256, 256, 3), dtype=np.uint8))
-    ds.labels = jax.device_put((np.arange(ds.n) % 3).astype(np.int32))
+    n = 2400
+    ds = DeviceDataset.from_arrays(
+        np.random.default_rng(0).integers(0, 256, (n, 256, 256, 3), np.uint8),
+        (np.arange(n) % 3).astype(np.int32))
 
     aug = augment_batch_fast if augment == "fast" else augment_batch
     model = AlexNet(num_classes=3, batch_norm=True)

@@ -36,15 +36,27 @@ class DeviceDataset:
 
     def __init__(self, samples, image_size: int = 256, num_workers: int = 4,
                  sharding=None, mesh: Optional[Mesh] = None):
-        loader = DataLoader(samples, batch_size=1, augment=False,
+        n_global = len(samples)
+        local = samples
+        if mesh is not None and jax.process_count() > 1:
+            # decode ONLY this process's contiguous row range of the padded
+            # global array (pad rows re-list leading samples); decoding
+            # everything on every host would multiply startup time and
+            # peak RAM by the process count
+            n_pad = n_global + (-n_global) % mesh.shape["data"]
+            npp, rem = divmod(n_pad, jax.process_count())
+            assert rem == 0, (n_pad, jax.process_count())
+            lo = npp * jax.process_index()
+            local = [samples[i % n_global] for i in range(lo, lo + npp)]
+        loader = DataLoader(local, batch_size=1, augment=False,
                             shuffle=False, image_size=image_size,
                             num_workers=num_workers, cache=False)
-        imgs = np.empty((len(samples), image_size, image_size, 3), np.uint8)
-        lbls = np.empty((len(samples),), np.int32)
+        imgs = np.empty((len(local), image_size, image_size, 3), np.uint8)
+        lbls = np.empty((len(local),), np.int32)
         for i, (img, lbl) in enumerate(loader):
             imgs[i] = img[0]
             lbls[i] = lbl[0]
-        self._place(imgs, lbls, sharding, mesh)
+        self._place(imgs, lbls, sharding, mesh, n_global=n_global)
         self.image_size = image_size
 
     @classmethod
@@ -57,32 +69,45 @@ class DeviceDataset:
         self.image_size = images.shape[1]
         return self
 
-    def _place(self, imgs: np.ndarray, lbls: np.ndarray, sharding, mesh):
+    def _place(self, imgs: np.ndarray, lbls: np.ndarray, sharding, mesh,
+               n_global: Optional[int] = None):
         self.mesh = mesh
         self.n = len(imgs)
         if mesh is not None:
             data_dim = mesh.shape["data"]
-            # shard-divisible upload: pad by re-listing leading samples (they
-            # are sampled with replacement anyway; padding keeps every shard
-            # the same length so shard_map sampling needs no masks)
-            pad = (-len(imgs)) % data_dim
-            if pad:
-                imgs = np.concatenate([imgs, imgs[:pad]])
-                lbls = np.concatenate([lbls, lbls[:pad]])
-            self.n = len(imgs)
             img_sh = NamedSharding(mesh, P("data", None, None, None))
             lbl_sh = NamedSharding(mesh, P("data"))
             if jax.process_count() > 1:
                 # multi-host: device_put cannot target non-addressable
-                # devices; each process contributes the contiguous row range
-                # its shards own (mesh device order is process-major)
-                npp = self.n // jax.process_count()
-                lo = npp * jax.process_index()
+                # devices, so assemble the global array from process-local
+                # row ranges (mesh device order is process-major). __init__
+                # hands us the local rows already; from_arrays hands the
+                # full array, which is sliced here.
+                ng = n_global or self.n
+                n_pad = ng + (-ng) % data_dim
+                npp, rem = divmod(n_pad, jax.process_count())
+                assert rem == 0, (n_pad, jax.process_count())
+                if len(imgs) != npp:
+                    assert len(imgs) == ng, (len(imgs), ng, npp)
+                    lo = npp * jax.process_index()
+                    sel = [i % ng for i in range(lo, lo + npp)]
+                    imgs, lbls = imgs[sel], lbls[sel]
+                self.n = n_pad
+                gshape = (n_pad, *imgs.shape[1:])
                 self.images = jax.make_array_from_process_local_data(
-                    img_sh, imgs[lo:lo + npp], imgs.shape)
+                    img_sh, imgs, gshape)
                 self.labels = jax.make_array_from_process_local_data(
-                    lbl_sh, lbls[lo:lo + npp], lbls.shape)
+                    lbl_sh, lbls, (n_pad,))
             else:
+                # shard-divisible upload: pad by re-listing leading samples
+                # (they are sampled with replacement anyway; padding keeps
+                # every shard the same length so shard_map sampling needs
+                # no masks)
+                pad = (-len(imgs)) % data_dim
+                if pad:
+                    imgs = np.concatenate([imgs, imgs[:pad]])
+                    lbls = np.concatenate([lbls, lbls[:pad]])
+                self.n = len(imgs)
                 self.images = jax.device_put(imgs, img_sh)
                 self.labels = jax.device_put(lbls, lbl_sh)
         else:

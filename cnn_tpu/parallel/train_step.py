@@ -173,12 +173,22 @@ def model_pspecs(model, mesh: Mesh) -> dict:
     name matching here.
     """
     model_dim = mesh.shape.get("model", 1)
-    layers = getattr(model, "layers", None) or model.net.layers
+    stack = list(getattr(model, "layers", None) or model.net.layers)
     specs = {}
-    for layer in layers:
+    while stack:
+        layer = stack.pop()
         ps = layer.param_pspecs(model_dim)
         if ps:
             specs[layer.name] = ps
+        # recurse into composite layers (e.g. ResidualBlock): their nested
+        # layer names appear as pytree path segments, so the lookup below
+        # finds them at any depth
+        body = getattr(layer, "body", None)
+        if body is not None:
+            stack.extend(body.layers)
+        proj = getattr(layer, "proj", None)
+        if proj is not None:
+            stack.append(proj)
     return specs
 
 

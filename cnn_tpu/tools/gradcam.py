@@ -121,6 +121,10 @@ def main(argv=None):
 
     model = get_model(args.model, num_classes=len(categories),
                       image_size=args.image_size, batch_norm=args.batch_norm)
+    layer_names = [l.name for l in model.net.layers]
+    if args.layer not in layer_names:
+        ap.error(f"--layer '{args.layer}' not in model '{args.model}'; "
+                 f"choose one of: {', '.join(layer_names)}")
     params, state = load_params(args.checkpoint, model)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -72,9 +72,11 @@ def main(argv=None):
         # that the sharding constraint then splits locally.
         kwargs = {}
         if train_cfg.coordinator:
-            kwargs = dict(coordinator_address=train_cfg.coordinator,
-                          num_processes=train_cfg.num_processes,
-                          process_id=train_cfg.process_id)
+            kwargs["coordinator_address"] = train_cfg.coordinator
+        if train_cfg.num_processes > 0:        # 0 = from env / TPU metadata
+            kwargs["num_processes"] = train_cfg.num_processes
+        if train_cfg.process_id >= 0:
+            kwargs["process_id"] = train_cfg.process_id
         jax.distributed.initialize(**kwargs)
         print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
 
@@ -141,6 +143,18 @@ def main(argv=None):
             ts = shard_train_state(ts, mesh, model)
         start_iters = max(start_iters, int(ts.step) + 1)
         print(f"resumed from {resume} at step {int(ts.step)}")
+    if jax.process_count() > 1:
+        # every process must enter the loop at the SAME iteration — a
+        # divergent '--resume auto' (e.g. per-host checkpoint dirs) would
+        # desynchronize the collective step schedule and hang the pod
+        from jax.experimental import multihost_utils
+        steps = np.asarray(multihost_utils.process_allgather(
+            np.asarray([start_iters], np.int64)))
+        if not (steps == steps.flat[0]).all():
+            raise RuntimeError(
+                f"resume state diverges across processes (start iters "
+                f"{steps.ravel().tolist()}); use a shared checkpoint dir or "
+                f"an explicit --resume path present on every host")
 
     augment_fn = None
     if device_augment or data_cfg.device_dataset:
@@ -250,11 +264,19 @@ def main(argv=None):
     history.close()
     print("\ntraining done!")
 
-    if best_path and not os.path.exists(best_path):
-        best_path = None            # non-main multihost process: no file
-    if best_path:
-        print(f"best checkpoint: {best_path} (valid acc {best_acc:.3f})")
-        ts = load_checkpoint(best_path)
+    # Final test. The decision to run it must be IDENTICAL on every process
+    # (the jitted eval is a collective program — one process skipping it
+    # would deadlock the job), so it keys on best_acc, which is computed
+    # from replicated metrics. Only process 0 has the checkpoint file; in
+    # multi-host runs the final state (replicated on all processes) stands
+    # in for the best checkpoint, with the best path reported for later use.
+    if best_acc >= 0.0:
+        if jax.process_count() == 1:
+            print(f"best checkpoint: {best_path} (valid acc {best_acc:.3f})")
+            ts = load_checkpoint(best_path)
+        else:
+            print(f"best checkpoint (on process 0): {best_path} "
+                  f"(valid acc {best_acc:.3f}); testing the FINAL state")
         test_loader = DataLoader(splits["test"], train_cfg.valid_batch_size,
                                  augment=False, shuffle=False,
                                  image_size=data_cfg.image_size)

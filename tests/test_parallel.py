@@ -237,3 +237,20 @@ def test_spec_driven_sharding_custom_names():
     ts, m = step(ts, jnp.zeros((8, 4, 4, 3), jnp.float32),
                  jnp.arange(8, dtype=jnp.int32) % 3)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_tp_shards_nested_resnet_params():
+    """model_pspecs recurses into composite layers: ResNet's wide nested
+    convs and the head TP-shard instead of silently replicating."""
+    from cnn_tpu.models import get_model
+    mesh = make_mesh(4, 2)
+    model = get_model("resnet10", num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+    ts = shard_train_state(create_train_state(model, opt, jax.random.key(0)),
+                           mesh, model)
+    w = ts.params["block_4"]["body"]["block_4_conv1"]["w"]
+    assert "model" in str(w.sharding.spec), w.sharding
+    step = make_train_step(model, opt, mesh=mesh, donate=False)
+    ts, m = step(ts, jnp.zeros((8, 64, 64, 3), jnp.uint8),
+                 jnp.arange(8, dtype=jnp.int32) % 3)
+    assert np.isfinite(float(m["loss"]))
