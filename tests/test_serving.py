@@ -63,3 +63,46 @@ def test_remat_train_step_matches_plain(rng):
                     jax.tree_util.tree_leaves(out2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_predict_stream_matches_blocking_path(rng):
+    """Pipelined streaming returns the same results in submission order."""
+    engine, _ = _engine(buckets=(1,))
+    engine.warmup()
+    imgs = rng.integers(0, 256, (7, 64, 64, 3), dtype=np.uint8)
+    ref_labels, ref_probs = engine.predict(imgs)   # 7 single-image calls
+    out = list(engine.predict_stream(iter(imgs), depth=3))
+    assert len(out) == 7
+    np.testing.assert_array_equal([l for l, _ in out], ref_labels)
+    np.testing.assert_allclose(np.stack([p for _, p in out]), ref_probs,
+                               rtol=1e-6)
+
+
+def test_batching_server_groups_and_matches(rng):
+    """Concurrent submissions resolve with the same results as direct
+    predict; micro-batching must not mix up request order/pairing."""
+    from cnn_tpu.serving import BatchingServer
+
+    engine, _ = _engine(buckets=(1, 4, 8))
+    imgs = rng.integers(0, 256, (10, 64, 64, 3), dtype=np.uint8)
+    ref_labels, ref_probs = engine.predict(imgs)
+    with BatchingServer(engine, batch_timeout_ms=20.0) as srv:
+        futs = [srv.submit(img) for img in imgs]
+        results = [f.result(timeout=60) for f in futs]
+    np.testing.assert_array_equal([l for l, _ in results], ref_labels)
+    np.testing.assert_allclose(np.stack([p for _, p in results]), ref_probs,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batching_server_surfaces_errors():
+    from cnn_tpu.serving import BatchingServer
+
+    engine, _ = _engine(buckets=(1,))
+    with BatchingServer(engine, batch_timeout_ms=1.0) as srv:
+        fut = srv.submit(np.zeros((3, 3), np.uint8))   # wrong rank
+        with np.testing.assert_raises(Exception):
+            fut.result(timeout=60)
+    # server still serves after a poisoned batch
+    with BatchingServer(engine, batch_timeout_ms=1.0) as srv:
+        ok = srv.submit(np.zeros((64, 64, 3), np.uint8)).result(timeout=60)
+        assert ok[0] in (0, 1, 2)
