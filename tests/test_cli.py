@@ -106,10 +106,14 @@ def test_train_cli_auto_resume(tmp_path, capsys):
             "--valid-iters", "2", "--save-iters", "2"]
     assert train.main(args + ["--total-iters", "2"]) == 0
     capsys.readouterr()
-    assert train.main(args + ["--total-iters", "4", "--resume", "auto",
-                              "--start-iters", "3"]) == 0
+    # start_iters derives from the restored step (no explicit flag needed)
+    assert train.main(args + ["--total-iters", "4", "--resume", "auto"]) == 0
     out = capsys.readouterr().out
     assert "resumed from" in out and "at step 2" in out
+    assert "[batch 3/4]" in out or "[batch 4/4]" in out  # continued, not restarted
+    # the post-resume checkpoint carries the continued step count
+    names = sorted(os.listdir(tmp_path))
+    assert any(n.startswith("iter_4_") for n in names), names
 
 
 def test_resnet_family_through_clis(tmp_path, capsys):
@@ -137,3 +141,19 @@ def test_resnet_family_through_clis(tmp_path, capsys):
                        "--image-size", "64", "--output-dir", str(tmp_path)])
     assert rc == 0
     assert os.path.exists(os.path.join(tmp_path, "0.png"))
+
+
+@needs_reference
+def test_serve_cli_batching_and_stream(capsys):
+    from cnn_tpu.tools import serve
+    args = [f"{IMAGES}/dog.jpg", f"{IMAGES}/panda.jpg", "/nonexistent.jpg",
+            "--checkpoint", CKPT, "--max-batch", "4",
+            "--batch-timeout-ms", "5"]
+    assert serve.main(args) == 0
+    out = capsys.readouterr().out
+    assert "dog.jpg\tdog\t" in out and "panda.jpg\tpanda\t" in out
+    assert "ERROR\tunreadable" in out
+
+    assert serve.main(args + ["--stream"]) == 0
+    out = capsys.readouterr().out
+    assert "dog.jpg\tdog\t" in out
