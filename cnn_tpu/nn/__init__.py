@@ -10,5 +10,6 @@ from cnn_tpu.nn.module import (  # noqa: F401
     MaxPool2D,
     ReLU,
     ResidualBlock,
+    StackedBlocks,
 )
 from cnn_tpu.nn.sequential import Sequential  # noqa: F401

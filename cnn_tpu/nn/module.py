@@ -262,3 +262,63 @@ class Dropout(Layer):
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
         return ops.channel_dropout(x, self.p, train=train, rng=rng,
                                    compat=self.compat), state
+
+
+@dataclass(frozen=True)
+class StackedBlocks(Layer):
+    """``n_blocks`` structurally identical blocks, scanned (scan-over-layers).
+
+    Params/state of every block are stacked with a leading ``[L]`` axis and
+    the stack is applied with ``lax.scan``, so XLA traces and compiles the
+    block body ONCE regardless of depth — the TPU-idiomatic way to express
+    deep repeated trunks (constant compile time, constant HLO size).
+
+    The leading ``[L]`` axis is also the pipeline-parallel shard axis:
+    ``cnn_tpu/parallel/pipeline.py`` splits it over a 'stage' mesh axis and
+    runs the blocks as a GPipe microbatch pipeline, each stage owning
+    ``L // n_stages`` consecutive blocks. (The reference has no equivalent —
+    its model is a flat ``std::list`` of distinct layers, alexnet.cpp:10-33;
+    this layer exists for the depth/scale the reference's TODO #5 asks for.)
+
+    The block must be shape-preserving (``out_shape(s) == s``).
+    """
+    block: Any = None
+    n_blocks: int = 1
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+        object.__setattr__(self, "has_state", self.block.has_state)
+        object.__setattr__(self, "needs_rng", self.block.needs_rng)
+
+    def init(self, key, dtype=jnp.float32):
+        keys = jax.random.split(key, self.n_blocks)
+        inits = [self.block.init(k, dtype) for k in keys]
+        params = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[p for p, _ in inits])
+        state = None
+        if self.has_state:
+            state = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[s for _, s in inits])
+        return params, state
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        xs = {"p": params}
+        if self.has_state:
+            xs["s"] = state
+        if self.needs_rng and rng is not None:
+            xs["k"] = jax.random.split(rng, self.n_blocks)
+
+        def body(h, inp):
+            y, new_s = self.block.apply(
+                inp["p"], inp.get("s"), h, train=train, rng=inp.get("k"),
+                compute_dtype=compute_dtype)
+            return y, new_s if self.has_state else None
+
+        y, new_state = jax.lax.scan(body, x, xs)
+        return y, (new_state if self.has_state else state)
+
+    def out_shape(self, in_shape):
+        shape = self.block.out_shape(in_shape)
+        assert shape == in_shape, (
+            f"StackedBlocks needs a shape-preserving block: {in_shape} -> {shape}")
+        return shape

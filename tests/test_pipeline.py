@@ -1,0 +1,199 @@
+"""Pipeline parallelism (GPipe over a 'stage' mesh axis) on the CPU mesh.
+
+The correctness bar: the pipelined schedule is the SAME function as the
+single-device scan-over-blocks trunk — with one microbatch it must be
+bit-identical (including BatchNorm batch statistics); with several
+microbatches it must be exactly equal whenever the math is microbatch-
+invariant (BN-free trunk). The reference has no parallelism to compare
+against (SURVEY.md §2); the oracle is our own single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cnn_tpu import optim
+from cnn_tpu.models import PipeCNN, get_model
+from cnn_tpu.nn.module import StackedBlocks
+from cnn_tpu.parallel import (create_train_state, make_pp_eval_step,
+                              make_pp_train_step, make_train_step,
+                              pp_decompose, shard_pp_train_state)
+
+
+def _stage_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("stage",))
+
+
+def _data(rng, n=16, size=32):
+    x = jnp.asarray(rng.integers(0, 256, (n, size, size, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.integers(0, 3, (n,), dtype=np.int32))
+    return x, y
+
+
+def _max_dev(t1, t2):
+    return max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))), t1, t2)))
+
+
+def test_stacked_blocks_match_unrolled():
+    """scan-over-layers == applying the L blocks one by one."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32)
+    _, trunk, _ = pp_decompose(model)
+    params, state = trunk.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 8)), jnp.float32)
+
+    y_scan, st_scan = trunk.apply(params, state, x, train=True)
+
+    h = x
+    sts = []
+    for i in range(trunk.n_blocks):
+        p_i = jax.tree.map(lambda a: a[i], params)
+        s_i = jax.tree.map(lambda a: a[i], state)
+        h, s_new = trunk.block.apply(p_i, s_i, h, train=True)
+        sts.append(s_new)
+    st_unrolled = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
+
+    # scan and unrolled convs may pick different reduction orders: ~1e-6 ULPs
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(h),
+                               rtol=1e-4, atol=1e-5)
+    assert _max_dev(st_scan, st_unrolled) < 1e-5
+
+
+def test_pp_single_microbatch_bitwise_matches_single_device():
+    """M=1 pipeline == unpipelined step exactly, BN included: the schedule
+    only changes WHERE each block runs, not what it computes."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts0 = create_train_state(model, opt, jax.random.key(0))
+    x, y = _data(np.random.default_rng(1))
+
+    step1 = make_train_step(model, opt, donate=False)
+    ts1, m1 = step1(ts0, x, y)
+
+    mesh = _stage_mesh(4)
+    tsp = shard_pp_train_state(ts0, mesh, model)
+    stepp = make_pp_train_step(model, opt, mesh, n_microbatches=1,
+                               donate=False)
+    tsp, mp = stepp(tsp, x, y)
+
+    assert float(m1["loss"]) == float(mp["loss"])
+    assert int(m1["correct"]) == int(mp["correct"])
+    assert _max_dev(ts1.params, tsp.params) == 0.0
+    assert _max_dev(ts1.state, tsp.state) == 0.0
+
+
+@pytest.mark.parametrize("n_stages,n_mb", [(4, 4), (8, 2)])
+def test_pp_microbatched_matches_single_device_bn_free(n_stages, n_mb):
+    """With a BN-free trunk every op is per-sample, so the microbatched
+    pipeline must equal the full-batch step to numerical precision."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32,
+                    batch_norm=False)
+    opt = optim.sgd(1e-2)
+    ts0 = create_train_state(model, opt, jax.random.key(2))
+    x, y = _data(np.random.default_rng(3))
+
+    step1 = make_train_step(model, opt, donate=False)
+    ts1, m1 = step1(ts0, x, y)
+
+    mesh = _stage_mesh(n_stages)
+    tsp = shard_pp_train_state(ts0, mesh, model)
+    stepp = make_pp_train_step(model, opt, mesh, n_microbatches=n_mb,
+                               donate=False)
+    tsp, mp = stepp(tsp, x, y)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]),
+                               rtol=1e-6)
+    assert int(m1["correct"]) == int(mp["correct"])
+    assert _max_dev(ts1.params, tsp.params) < 1e-5
+
+
+def test_pp_composes_with_data_parallelism():
+    """('data', 'stage') mesh: batch shards over 'data', trunk depth over
+    'stage'. BN-free so DP2 x PP4 with microbatches equals single-device."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32,
+                    batch_norm=False)
+    opt = optim.sgd(1e-2)
+    ts0 = create_train_state(model, opt, jax.random.key(4))
+    x, y = _data(np.random.default_rng(5))
+
+    step1 = make_train_step(model, opt, donate=False)
+    ts1, m1 = step1(ts0, x, y)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "stage"))
+    tsp = shard_pp_train_state(ts0, mesh, model)
+    stepp = make_pp_train_step(model, opt, mesh, n_microbatches=2,
+                               donate=False)
+    tsp, mp = stepp(tsp, x, y)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]),
+                               rtol=1e-6)
+    assert int(m1["correct"]) == int(mp["correct"])
+    assert _max_dev(ts1.params, tsp.params) < 1e-5
+
+
+def test_pp_bn_training_converges_and_masks_bubbles():
+    """BN trunk with M>1: GPipe per-microbatch statistics (documented).
+    The moving stats must be updated only by valid ticks — training on a
+    constant batch must keep state finite and loss decreasing."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    opt = optim.make_optimizer("momentum", 5e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(6))
+    x, y = _data(np.random.default_rng(7))
+
+    mesh = _stage_mesh(4)
+    ts = shard_pp_train_state(ts, mesh, model)
+    step = make_pp_train_step(model, opt, mesh, n_microbatches=4,
+                              donate=False)
+    ts, m0 = step(ts, x, y)
+    for _ in range(10):
+        ts, m = step(ts, x, y)
+    assert float(m["loss"]) < float(m0["loss"])
+    for leaf in jax.tree.leaves(ts.state):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_pp_eval_step_matches_single_device():
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(8))
+    x, y = _data(np.random.default_rng(9))
+
+    from cnn_tpu.parallel import make_eval_step
+    ev1 = make_eval_step(model)
+    out1 = ev1(ts.params, ts.state, x, y)
+
+    mesh = _stage_mesh(4)
+    tsp = shard_pp_train_state(ts, mesh, model)
+    ev2 = make_pp_eval_step(model, mesh, n_microbatches=4)
+    out2 = ev2(tsp.params, tsp.state, x, y)
+
+    # eval BN uses moving stats -> microbatching cannot change the math
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out1["pred"]),
+                                  np.asarray(out2["pred"]))
+
+
+def test_pp_decompose_validation():
+    from cnn_tpu.models import AlexNet
+    with pytest.raises(ValueError):
+        pp_decompose(AlexNet(num_classes=3))  # no StackedBlocks trunk
+
+
+def test_pipecnn_registered_and_bf16():
+    model = get_model("pipecnn", num_classes=3, width=8, n_blocks=4,
+                      image_size=32)
+    assert isinstance(model, PipeCNN)
+    assert isinstance(model.net["trunk"], StackedBlocks)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    mesh = _stage_mesh(4)
+    ts = shard_pp_train_state(ts, mesh, model)
+    step = make_pp_train_step(model, opt, mesh, n_microbatches=2,
+                              compute_dtype=jnp.bfloat16, donate=False)
+    x, y = _data(np.random.default_rng(10), n=8)
+    ts, m = step(ts, x, y)
+    assert np.isfinite(float(m["loss"]))
