@@ -115,12 +115,15 @@ def measure_train(compute_dtype, batch_size: int, iters: int = 40,
 
 
 def measure_train_e2e(batch_size: int = 256, iters: int = 40,
-                      augment: str = "fast") -> float:
+                      augment: str = "fast",
+                      steps_per_call: int = 8) -> float:
     """End-to-end training throughput: on-device batch sampling + fused
     augmentation + train step (the device-resident-dataset path that beat
     the reference's accuracy — BASELINE.md). Synthetic resident data skips
     the one-time decode/upload. ``augment``: 'fast' (flips+crop) or 'full'
-    (the complete reference policy incl. the Pallas shear rotation)."""
+    (the complete reference policy incl. the Pallas shear rotation).
+    ``steps_per_call`` chains steps inside one compiled program (the train
+    CLI's --steps-per-call), removing per-step dispatch overhead."""
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
@@ -141,14 +144,15 @@ def measure_train_e2e(batch_size: int = 256, iters: int = 40,
     step = make_device_train_step(
         model, opt, ds, batch_size, compute_dtype=jnp.bfloat16,
         augment_fn=lambda r, im: aug(r, im, out_size=224,
-                                     dtype=jnp.bfloat16))
+                                     dtype=jnp.bfloat16),
+        steps_per_call=steps_per_call)
     ts, m = step(ts)
     float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, m = step(ts)
     float(m["loss"])
-    return batch_size * iters / (time.perf_counter() - t0)
+    return batch_size * steps_per_call * iters / (time.perf_counter() - t0)
 
 
 def measure_infer_device_ms(n: int = 100) -> float:

@@ -87,6 +87,9 @@ class TrainConfig:
     num_processes: int = 0          # 0 = from env / TPU metadata
     process_id: int = -1            # -1 = from env / TPU metadata
     donate: bool = True
+    steps_per_call: int = 1         # device-dataset mode: train steps chained
+                                    # inside ONE compiled program (lax.scan);
+                                    # cuts per-step dispatch overhead ~7%
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:

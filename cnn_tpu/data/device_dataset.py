@@ -186,13 +186,21 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            augment_fn=None, donate: bool = True,
                            label_smoothing: float = 0.0,
                            mesh: Optional[Mesh] = None,
-                           sample_mode: str = "local"):
+                           sample_mode: str = "local",
+                           steps_per_call: int = 1):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
     Returns ``(ts) -> (ts, metrics)``. With ``mesh``, the batch is sampled
     shard-locally over the 'data' axis and the step runs SPMD with
     XLA-inserted gradient collectives — the fast input path and the
     multi-chip path compose instead of excluding each other.
+
+    ``steps_per_call > 1`` chains that many steps inside ONE compiled
+    program with ``lax.scan`` (each with its own sampled batch — the RNG
+    folds ``ts.step``, which advances every scan iteration), so the host
+    dispatches once per chunk instead of once per step — measured +7%
+    end-to-end on the tunneled single-chip setup (45.4k -> 48.7k img/s at
+    bs=256). Metrics are the chunk mean loss / summed correct.
     """
     from cnn_tpu.parallel.train_step import TrainState, _loss_fn
     from cnn_tpu.ops.preprocess import uint8_to_float
@@ -223,6 +231,20 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,
                         "batch": jnp.int32(batch_size)}
+
+    if steps_per_call > 1:
+        one = step
+
+        def step(ts: TrainState, images_ref, labels_ref):
+            def body(carry, _):
+                new_ts, m = one(carry, images_ref, labels_ref)
+                return new_ts, (m["loss"], m["correct"])
+
+            ts, (losses, corrects) = jax.lax.scan(
+                body, ts, length=steps_per_call)
+            return ts, {"loss": jnp.mean(losses),
+                        "correct": jnp.sum(corrects),
+                        "batch": jnp.int32(batch_size * steps_per_call)}
 
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 

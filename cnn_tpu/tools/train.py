@@ -188,7 +188,8 @@ def main(argv=None):
             model, opt, device_train_ds, train_cfg.train_batch_size,
             compute_dtype=compute_dtype, augment_fn=augment_fn,
             donate=train_cfg.donate,
-            label_smoothing=train_cfg.label_smoothing, mesh=mesh)
+            label_smoothing=train_cfg.label_smoothing, mesh=mesh,
+            steps_per_call=train_cfg.steps_per_call)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,
@@ -209,18 +210,27 @@ def main(argv=None):
 
     device_mode = device_train_ds is not None
     bs = train_cfg.train_batch_size
+    chunk = train_cfg.steps_per_call if device_mode else 1
+    if chunk > 1:
+        # every chunk advances `chunk` iterations inside one program, so
+        # the validate/save cadence must land on chunk boundaries
+        assert train_cfg.valid_iters % chunk == 0, \
+            (train_cfg.valid_iters, chunk)
+        assert (start_iters - 1) % chunk == 0, \
+            f"resume step {start_iters - 1} must align with --steps-per-call"
     with trace(train_cfg.profile_dir or None):
-        for it in range(start_iters, train_cfg.total_iters + 1):
+        for it in range(start_iters + chunk - 1, train_cfg.total_iters + 1,
+                        chunk):
             if device_mode:
-                # fully on-device step: no host data, no per-step fetch (each
-                # blocking fetch costs a ~30 ms tunnel RPC — metrics are
-                # sampled at the logging cadence instead)
+                # fully on-device step(s): no host data, no per-step fetch
+                # (each blocking fetch costs a ~30 ms tunnel RPC — metrics
+                # are sampled at the logging cadence instead)
                 ts, metrics = step_fn(ts)
-                timer.tick(bs)
+                timer.tick(bs * chunk)
                 if (it % 100 == 0 or it == train_cfg.total_iters
                         or it % train_cfg.valid_iters == 0):
                     mean_loss.add(float(metrics["loss"]))
-                    train_eval.add_counts(int(metrics["correct"]), bs)
+                    train_eval.add_counts(int(metrics["correct"]), bs * chunk)
             else:
                 images, labels = train_loader.generate_batch()
                 ts, metrics = step_fn(ts, jnp.asarray(images), jnp.asarray(labels))

@@ -157,3 +157,21 @@ def test_serve_cli_batching_and_stream(capsys):
     assert serve.main(args + ["--stream"]) == 0
     out = capsys.readouterr().out
     assert "dog.jpg\tdog\t" in out
+
+
+def test_train_cli_device_dataset_steps_per_call(tmp_path, capsys):
+    """--device-dataset with --steps-per-call: chunked dispatch trains,
+    validates on the chunk boundary, and checkpoints the right step."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--total-iters", "4", "--valid-iters", "4",
+                     "--save-iters", "4", "--train-batch-size", "8",
+                     "--valid-batch-size", "64",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--device-dataset", "true", "--canvas-size", "64",
+                     "--image-size", "61", "--steps-per-call", "2",
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "training done!" in out
+    names = sorted(os.listdir(tmp_path))
+    assert any(n.startswith("iter_4_") for n in names), names

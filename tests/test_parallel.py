@@ -254,3 +254,32 @@ def test_tp_shards_nested_resnet_params():
     ts, m = step(ts, jnp.zeros((8, 64, 64, 3), jnp.uint8),
                  jnp.arange(8, dtype=jnp.int32) % 3)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_device_dataset_steps_per_call_matches_singles():
+    """K steps chained in one program (lax.scan) == K one-step calls: the
+    per-step RNG folds ts.step, which advances inside the scan too."""
+    from cnn_tpu.data.device_dataset import make_device_train_step
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+
+    ds, _, _ = _toy_device_ds(n=32)
+    ts1 = create_train_state(model, opt, jax.random.key(4))
+    one = make_device_train_step(model, opt, ds, 8, donate=False)
+    losses = []
+    for _ in range(4):
+        ts1, m = one(ts1)
+        losses.append(float(m["loss"]))
+
+    ts4 = create_train_state(model, opt, jax.random.key(4))
+    chunk = make_device_train_step(model, opt, ds, 8, donate=False,
+                                   steps_per_call=4)
+    ts4, m4 = chunk(ts4)
+
+    assert int(ts4.step) == int(ts1.step) == 4
+    assert int(m4["batch"]) == 32
+    np.testing.assert_allclose(float(m4["loss"]), np.mean(losses), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
