@@ -40,7 +40,7 @@ def _trunk_block(width: int, batch_norm: bool) -> ResidualBlock:
 class PipeCNN:
     def __init__(self, num_classes: int = 3, width: int = 64,
                  n_blocks: int = 8, image_size: int = 224,
-                 batch_norm: bool = True):
+                 batch_norm: bool = True, remat: bool = True):
         self.num_classes = num_classes
         self.image_size = image_size
         self.width = width
@@ -60,7 +60,7 @@ class PipeCNN:
             stem.append(BatchNorm2D("stem_bn2", num_channels=width))
         stem.append(ReLU("stem_relu2"))
         trunk = StackedBlocks("trunk", block=_trunk_block(width, batch_norm),
-                              n_blocks=n_blocks)
+                              n_blocks=n_blocks, remat=remat)
         head = [GlobalAvgPool("gap"),
                 Linear("linear_1", in_features=width,
                        out_features=num_classes)]

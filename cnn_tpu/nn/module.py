@@ -281,9 +281,16 @@ class StackedBlocks(Layer):
     this layer exists for the depth/scale the reference's TODO #5 asks for.)
 
     The block must be shape-preserving (``out_shape(s) == s``).
+
+    ``remat=True`` wraps the scanned body in ``jax.checkpoint``: the
+    backward pass recomputes each block's internals instead of saving L
+    stacks of residuals — activation memory drops from O(L * ops-per-block)
+    to O(L) carries, the standard scan-over-layers + remat idiom that lets
+    batch/depth scale to the HBM limit.
     """
     block: Any = None
     n_blocks: int = 1
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
@@ -314,6 +321,8 @@ class StackedBlocks(Layer):
                 compute_dtype=compute_dtype)
             return y, new_s if self.has_state else None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         y, new_state = jax.lax.scan(body, x, xs)
         return y, (new_state if self.has_state else state)
 

@@ -102,6 +102,8 @@ def _gpipe_trunk(trunk: StackedBlocks, params_s, state_s, h, *,
                                    compute_dtype=compute_dtype)
             return y, (new_s if has_state else None)
 
+        if trunk.remat:  # same memory/recompute trade as the scanned trunk
+            body = jax.checkpoint(body)
         y, new_st = lax.scan(body, act, xs)
         return y, (new_st if has_state else st)
 

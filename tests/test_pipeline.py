@@ -64,8 +64,11 @@ def test_stacked_blocks_match_unrolled():
 
 def test_pp_single_microbatch_bitwise_matches_single_device():
     """M=1 pipeline == unpipelined step exactly, BN included: the schedule
-    only changes WHERE each block runs, not what it computes."""
-    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    only changes WHERE each block runs, not what it computes. (remat off:
+    checkpointed recomputation reorders float ops by ~1e-8, which would
+    break the BITWISE claim without changing the math being compared.)"""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32,
+                    remat=False)
     opt = optim.make_optimizer("momentum", 1e-2, 0.9)
     ts0 = create_train_state(model, opt, jax.random.key(0))
     x, y = _data(np.random.default_rng(1))
@@ -197,3 +200,38 @@ def test_pipecnn_registered_and_bf16():
     x, y = _data(np.random.default_rng(10), n=8)
     ts, m = step(ts, x, y)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_flops_counter_handles_nested_layers():
+    from cnn_tpu.models import AlexNet
+    from cnn_tpu.utils.flops import (forward_flops_per_image,
+                                     train_flops_per_image)
+    # flat model: matches the hand-derived AlexNet count used in BASELINE.md
+    assert train_flops_per_image(AlexNet(num_classes=3)) == 76_144_320.0
+    # nested: trunk blocks count n_blocks times, proj convs included
+    p4 = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32)
+    p8 = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    d = forward_flops_per_image(p8) - forward_flops_per_image(p4)
+    blk = 2 * 2.0 * 8 * 8 * 9 * 8 * 8  # two 3x3 convs at 8x8, 8->8 channels
+    assert d == 4 * blk
+
+
+def test_stacked_blocks_remat_matches_plain():
+    """jax.checkpoint on the scanned body changes memory, not math."""
+    from cnn_tpu import optim as _optim
+    plain = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
+                    remat=False)
+    remat = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
+                    remat=True)
+    opt = _optim.sgd(1e-2)
+    ts_a = create_train_state(plain, opt, jax.random.key(0))
+    ts_b = create_train_state(remat, opt, jax.random.key(0))
+    x, y = _data(np.random.default_rng(11), n=8)
+    sa = make_train_step(plain, opt, donate=False)
+    sb = make_train_step(remat, opt, donate=False)
+    ts_a, ma = sa(ts_a, x, y)
+    ts_b, mb = sb(ts_b, x, y)
+    # recomputation may reorder float reductions: equal to ~1e-7, not bitwise
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+    assert _max_dev(ts_a.params, ts_b.params) < 1e-6
