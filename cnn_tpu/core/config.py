@@ -81,6 +81,8 @@ class TrainConfig:
     # parallelism: number of data-parallel shards ('auto' = all local devices)
     data_parallel: int = 0          # 0 = auto
     model_parallel: int = 1
+    spatial_parallel: int = 1       # shard activation rows (SP for CNNs);
+                                    # XLA inserts conv halo exchanges
     multihost: bool = False         # jax.distributed.initialize() for multi-host
                                     # slices (same SPMD code; DCN joins the mesh)
     coordinator: str = ""           # host:port of process 0 ('' = from env)

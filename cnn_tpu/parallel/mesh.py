@@ -1,10 +1,13 @@
 """Device mesh construction.
 
 The reference has zero parallelism (single thread, single device — SURVEY.md
-§2). The TPU-native replacement: an explicit 2-axis ``('data', 'model')``
-mesh; the batch shards over 'data' (DP over ICI), and the classifier head /
-wide conv channels may shard over 'model' (TP). With one chip both axes are
-1 and everything degenerates to plain jit — the mesh axis stays explicit so
+§2). The TPU-native replacement: an explicit ``('data', 'model'[,
+'spatial'])`` mesh; the batch shards over 'data' (DP over ICI), the
+classifier head / wide conv channels may shard over 'model' (TP), and
+activation ROWS may shard over 'spatial' — the CNN analog of sequence
+parallelism, where XLA's SPMD partitioner inserts the halo exchanges each
+conv window needs at shard boundaries. With one chip every axis is 1 and
+everything degenerates to plain jit — the mesh axes stay explicit so
 multi-chip (and multi-host DCN) falls out with no code change.
 """
 
@@ -16,14 +19,20 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data_parallel: int = 0, model_parallel: int = 1,
-              devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh. data_parallel=0 means 'use all'."""
+              spatial_parallel: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh, plus a 'spatial' axis when
+    ``spatial_parallel > 1``. data_parallel=0 means 'use the rest'."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data_parallel <= 0:
-        assert n % model_parallel == 0, (n, model_parallel)
-        data_parallel = n // model_parallel
-    need = data_parallel * model_parallel
+        assert n % (model_parallel * spatial_parallel) == 0, \
+            (n, model_parallel, spatial_parallel)
+        data_parallel = n // (model_parallel * spatial_parallel)
+    need = data_parallel * model_parallel * spatial_parallel
     assert need <= n, f"need {need} devices, have {n}"
+    if spatial_parallel > 1:
+        arr = np.asarray(devices[:need]).reshape(
+            data_parallel, model_parallel, spatial_parallel)
+        return Mesh(arr, axis_names=("data", "model", "spatial"))
     arr = np.asarray(devices[:need]).reshape(data_parallel, model_parallel)
     return Mesh(arr, axis_names=("data", "model"))

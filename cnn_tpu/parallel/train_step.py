@@ -107,11 +107,16 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     if mesh is None:
         return jax.jit(step, donate_argnums=donate_argnums)
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    # with a 'spatial' axis, activation ROWS shard too (the CNN analog of
+    # sequence parallelism); the SPMD partitioner inserts halo exchanges at
+    # shard boundaries for every conv/pool window that straddles them
+    sp = "spatial" if "spatial" in mesh.axis_names else None
+    image_sharding = NamedSharding(mesh, P("data", sp))
+    label_sharding = NamedSharding(mesh, P("data"))
 
     def shard_step(ts, images, labels):
-        images = jax.lax.with_sharding_constraint(images, batch_sharding)
-        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        images = jax.lax.with_sharding_constraint(images, image_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, label_sharding)
         return step(ts, images, labels)
 
     return jax.jit(shard_step, donate_argnums=donate_argnums)
@@ -135,13 +140,15 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None):
     if mesh is None:
         return jax.jit(step)
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    sp = "spatial" if "spatial" in mesh.axis_names else None
+    image_sharding = NamedSharding(mesh, P("data", sp))
+    label_sharding = NamedSharding(mesh, P("data"))
 
     replicated = NamedSharding(mesh, P())
 
     def shard_step(params, state, images, labels):
-        images = jax.lax.with_sharding_constraint(images, batch_sharding)
-        labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+        images = jax.lax.with_sharding_constraint(images, image_sharding)
+        labels = jax.lax.with_sharding_constraint(labels, label_sharding)
         out = step(params, state, images, labels)
         # per-sample predictions must be host-fetchable on every process
         # (multi-host: a 'data'-sharded array spans non-addressable devices)
@@ -173,11 +180,16 @@ def model_pspecs(model, mesh: Mesh) -> dict:
     name matching here.
     """
     model_dim = mesh.shape.get("model", 1)
+    has_ep = "expert" in mesh.axis_names
     stack = list(getattr(model, "layers", None) or model.net.layers)
     specs = {}
     while stack:
         layer = stack.pop()
         ps = layer.param_pspecs(model_dim)
+        if has_ep:
+            ep_fn = getattr(layer, "param_pspecs_ep", None)
+            if ep_fn is not None:  # expert-parallel placement (nn/moe.py)
+                ps = {**(ps or {}), **ep_fn()}
         if ps:
             specs[layer.name] = ps
         # recurse into composite layers (e.g. ResidualBlock): their nested

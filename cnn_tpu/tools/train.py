@@ -118,8 +118,10 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = None
-    if n_dev > 1 or train_cfg.model_parallel > 1:
-        mesh = make_mesh(train_cfg.data_parallel, train_cfg.model_parallel)
+    if (n_dev > 1 or train_cfg.model_parallel > 1
+            or train_cfg.spatial_parallel > 1):
+        mesh = make_mesh(train_cfg.data_parallel, train_cfg.model_parallel,
+                         train_cfg.spatial_parallel)
         print(f"mesh: {dict(mesh.shape)}")
 
     compute_dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else None

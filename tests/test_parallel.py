@@ -283,3 +283,59 @@ def test_device_dataset_steps_per_call_matches_singles():
                     jax.tree_util.tree_leaves(ts4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------- spatial partitioning ('spatial' axis = SP for CNNs) ------
+
+
+def test_spatial_partitioning_matches_single_device():
+    """Activation rows sharded over 'spatial': XLA's SPMD partitioner
+    inserts the halo exchanges every conv/pool window needs at shard
+    boundaries, so DP2 x SP4 must reproduce the single-device step."""
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+    x = jnp.asarray(np.random.default_rng(7).random((8, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.arange(8, dtype=jnp.int32) % 3
+
+    ts1 = create_train_state(model, opt, jax.random.key(9))
+    step1 = make_train_step(model, opt, donate=False)
+    out1, m1 = step1(ts1, x, y)
+
+    mesh = make_mesh(2, 1, spatial_parallel=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 1, "spatial": 4}
+    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(9)),
+                            mesh, model)
+    step2 = make_train_step(model, opt, mesh=mesh, donate=False)
+    out2, m2 = step2(ts2, x, y)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out1.params),
+                    jax.tree_util.tree_leaves(out2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_partitioning_eval_and_resnet():
+    """SP eval path, and a padded-conv model (resnet10) where every 3x3
+    stride-1 window straddles shard boundaries."""
+    from cnn_tpu.models import ResNet
+    model = ResNet("resnet10", num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(10))
+    x = jnp.asarray(np.random.default_rng(8).random((8, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.arange(8, dtype=jnp.int32) % 3
+
+    ev1 = make_eval_step(model)
+    out1 = ev1(ts.params, ts.state, x, y)
+
+    mesh = make_mesh(1, 1, spatial_parallel=8)
+    ts2 = shard_train_state(ts, mesh, model)
+    ev2 = make_eval_step(model, mesh=mesh)
+    out2 = ev2(ts2.params, ts2.state, x, y)
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out1["pred"]),
+                                  np.asarray(out2["pred"]))
