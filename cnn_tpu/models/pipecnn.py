@@ -25,13 +25,21 @@ from cnn_tpu.nn.module import ResidualBlock, StackedBlocks
 
 
 def _trunk_block(width: int, batch_norm: bool) -> ResidualBlock:
+    # Without BN, a residual trunk at the reference's N(0,1)/10 init has a
+    # per-block gain of sqrt(1 + body_var) > 1 that compounds exponentially
+    # in depth (overflows bf16 within the first steps at width 64 — seen in
+    # practice). Fixup-style fix: ZERO-init the body's last conv, making
+    # the trunk the identity at init — stable at any depth; gradients reach
+    # the zero conv through the residual path, so it trains normally.
+    last_scale = 0.1 if batch_norm else 0.0
     layers = [Conv2D("b_conv1", in_channels=width, out_channels=width,
                      kernel_size=3, stride=1, padding=1)]
     if batch_norm:
         layers.append(BatchNorm2D("b_bn1", num_channels=width))
     layers += [ReLU("b_relu"),
                Conv2D("b_conv2", in_channels=width, out_channels=width,
-                      kernel_size=3, stride=1, padding=1)]
+                      kernel_size=3, stride=1, padding=1,
+                      init_scale=last_scale)]
     if batch_norm:
         layers.append(BatchNorm2D("b_bn2", num_channels=width))
     return ResidualBlock("block", body=Sequential(layers))
@@ -59,7 +67,8 @@ class PipeCNN:
         if batch_norm:
             stem.append(BatchNorm2D("stem_bn2", num_channels=width))
         stem.append(ReLU("stem_relu2"))
-        trunk = StackedBlocks("trunk", block=_trunk_block(width, batch_norm),
+        trunk = StackedBlocks("trunk",
+                              block=_trunk_block(width, batch_norm),
                               n_blocks=n_blocks, remat=remat)
         head = [GlobalAvgPool("gap"),
                 Linear("linear_1", in_features=width,

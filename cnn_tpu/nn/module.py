@@ -63,13 +63,15 @@ class Conv2D(Layer):
     kernel_size: int = 3
     stride: int = 2
     padding: int = 0
+    init_scale: float = 0.1   # N(0,1) * scale, the reference's init
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
 
     def init(self, key, dtype=jnp.float32):
         return ops.conv2d_init(key, self.in_channels, self.out_channels,
-                               self.kernel_size, dtype), None
+                               self.kernel_size, dtype,
+                               init_scale=self.init_scale), None
 
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
         return ops.conv2d(params, x, self.stride, compute_dtype,

@@ -1,0 +1,189 @@
+"""Post-training quantization for serving: BN folding + int8 on the MXU.
+
+Two TPU-native serving transforms the reference has no equivalent of
+(its inference binary replays the full f32 training graph per image,
+inference.cpp:53-72):
+
+1. **BatchNorm folding** — at inference BN is an affine map with frozen
+   moving stats, so it folds into the preceding conv's weights/bias:
+   ``w' = w * g/sqrt(v+eps)``, ``b' = (b - m) * g/sqrt(v+eps) + beta``.
+   The served graph loses every BN op with bit-level-explainable (float
+   re-association only) logits.
+
+2. **Int8 quantization** — the MXU multiplies s8 x s8 -> s32 natively at
+   2x the bf16 rate. Weights quantize per-output-channel symmetric
+   (absmax / 127); activations per-layer symmetric with scales calibrated
+   from a batch of real images (absmax over the calibration set). Convs
+   and the dense head run as integer ops with f32 rescale + bias epilogues
+   (XLA fuses those into the conv); ReLU/pool stay in f32 on the VPU where
+   they are free.
+
+Scope: top-level ``Sequential`` models (AlexNet/VGG). The quality bar is
+task-level: on the reference's own headline checkpoint the int8 path must
+keep classification agreement on the oracle images (tested) — per-logit
+deviation is bounded by calibration, not by epsilon.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnn_tpu.nn.module import BatchNorm2D, Conv2D, Linear
+from cnn_tpu.nn.sequential import Sequential
+
+
+class FoldedModel(NamedTuple):
+    """A model-shaped (net/image_size/num_classes) view over folded layers."""
+    net: Sequential
+    image_size: int
+    num_classes: int
+
+    def apply(self, params, state, x, *, train=False, rng=None,
+              compute_dtype=None, capture=()):
+        return self.net.apply(params, state, x, train=train, rng=rng,
+                              compute_dtype=compute_dtype, capture=capture)
+
+    def init(self, key, dtype=None):
+        return self.net.init(key, dtype or jnp.float32)
+
+
+def fold_batchnorm(model, params, state):
+    """Fold every top-level Conv2D -> BatchNorm2D pair; drop the BN layers.
+
+    Returns ``(folded_model, folded_params)``; the folded model has empty
+    state (eval-only). Layers other than folded-away BNs keep their names,
+    so checkpoint tooling and Grad-CAM capture still address them.
+    """
+    layers = list(model.net.layers)
+    new_layers, new_params = [], {}
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
+        nxt = layers[i + 1] if i + 1 < len(layers) else None
+        if (isinstance(layer, Conv2D) and isinstance(nxt, BatchNorm2D)):
+            p = params[layer.name]
+            bn_p, bn_s = params[nxt.name], state[nxt.name]
+            inv = bn_p["gamma"] / jnp.sqrt(bn_s["var"] + nxt.eps)
+            new_params[layer.name] = {
+                "w": p["w"] * inv[None, None, None, :],
+                "b": (p["b"] - bn_s["mean"]) * inv + bn_p["beta"],
+            }
+            new_layers.append(layer)
+            i += 2
+            continue
+        if layer.has_state:
+            raise ValueError(
+                f"cannot fold stateful layer {layer.name} "
+                f"({type(layer).__name__}) — only Conv2D->BatchNorm2D pairs")
+        if layer.has_params:
+            new_params[layer.name] = params[layer.name]
+        new_layers.append(layer)
+        i += 1
+    return (FoldedModel(Sequential(new_layers), model.image_size,
+                        model.num_classes), new_params)
+
+
+def _quantize_weight(w: jnp.ndarray, axis: int):
+    """Symmetric per-output-channel int8: returns (q_w, scale[out])."""
+    reduce_axes = tuple(a for a in range(w.ndim) if a != axis)
+    absmax = jnp.max(jnp.abs(w), axis=reduce_axes)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    shape = [1] * w.ndim
+    shape[axis] = -1
+    q = jnp.clip(jnp.round(w / scale.reshape(shape)), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def calibrate_activation_scales(model, params, state, images_u8) -> dict:
+    """Per-layer input absmax/127 over a calibration batch.
+
+    The input of layer i is the output of layer i-1 (layer 0 sees the
+    /255-normalized image), so one captured forward provides every scale.
+    """
+    net = model.net
+    names = [l.name for l in net.layers]
+    x = jnp.asarray(images_u8).astype(jnp.float32) / 255.0
+    _, _, acts = net.apply(params, state, x, train=False, capture=names)
+    scales, prev = {}, x
+    for layer in net.layers:
+        if isinstance(layer, (Conv2D, Linear)):
+            scales[layer.name] = float(jnp.max(jnp.abs(prev))) / 127.0 or 1e-12
+        prev = acts[layer.name]
+    return scales
+
+
+def quantize_int8(model, params, state, calib_images_u8):
+    """-> (folded_model, qparams): int8 weights + scales for every matmul
+    layer; non-matmul layers keep their f32 params."""
+    folded, fparams = fold_batchnorm(model, params, state)
+    act_scales = calibrate_activation_scales(
+        folded, fparams, {}, calib_images_u8)
+    qparams = {}
+    for layer in folded.net.layers:
+        if isinstance(layer, Conv2D):
+            q, s = _quantize_weight(fparams[layer.name]["w"], axis=3)
+            qparams[layer.name] = {"w_q": q, "w_scale": s,
+                                   "b": fparams[layer.name]["b"],
+                                   "in_scale": jnp.float32(
+                                       act_scales[layer.name])}
+        elif isinstance(layer, Linear):
+            q, s = _quantize_weight(fparams[layer.name]["w"], axis=1)
+            qparams[layer.name] = {"w_q": q, "w_scale": s,
+                                   "b": fparams[layer.name]["b"],
+                                   "in_scale": jnp.float32(
+                                       act_scales[layer.name])}
+        elif layer.has_params:
+            qparams[layer.name] = fparams[layer.name]
+    return folded, qparams
+
+
+def _q_act(x, in_scale):
+    return jnp.clip(jnp.round(x / in_scale), -127, 127).astype(jnp.int8)
+
+
+def quantized_apply(folded: FoldedModel, qparams: dict, x: jnp.ndarray):
+    """Int8 forward: every conv/dense is s8 x s8 -> s32 on the MXU with an
+    f32 dequant+bias epilogue; everything else runs f32 on the VPU."""
+    from jax import lax
+
+    for layer in folded.net.layers:
+        if isinstance(layer, Conv2D):
+            p = qparams[layer.name]
+            qx = _q_act(x, p["in_scale"])
+            pad = [(layer.padding, layer.padding)] * 2
+            acc = lax.conv_general_dilated(
+                qx, p["w_q"], (layer.stride, layer.stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            x = acc.astype(jnp.float32) * (p["in_scale"] * p["w_scale"]) \
+                + p["b"]
+        elif isinstance(layer, Linear):
+            p = qparams[layer.name]
+            if x.ndim > 2:          # ops.linear flattens trailing dims
+                x = x.reshape(x.shape[0], -1)
+            qx = _q_act(x, p["in_scale"])
+            acc = lax.dot_general(
+                qx, p["w_q"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            x = acc.astype(jnp.float32) * (p["in_scale"] * p["w_scale"]) \
+                + p["b"]
+        else:
+            x, _ = layer.apply(qparams.get(layer.name), None, x, train=False)
+    return x
+
+
+def make_int8_forward(model, params, state, calib_images_u8):
+    """Jitted uint8 -> softmax probs through the folded int8 graph."""
+    folded, qparams = quantize_int8(model, params, state, calib_images_u8)
+
+    @jax.jit
+    def forward(images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        logits = quantized_apply(folded, qparams, x)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return forward

@@ -27,7 +27,16 @@ import numpy as np
 
 class InferenceEngine:
     def __init__(self, model, params, state, buckets=(1, 8, 64),
-                 compute_dtype=None):
+                 compute_dtype=None, int8_calib=None):
+        """``int8_calib``: a [N,H,W,3] uint8 batch of representative images
+        switches the engine to the post-training-quantized graph
+        (cnn_tpu/quant.py): BatchNorm folded away, every conv/dense running
+        s8 x s8 -> s32 on the MXU with calibrated activation scales."""
+        self._quantized = int8_calib is not None
+        if self._quantized:
+            from cnn_tpu.quant import quantize_int8
+            model, params = quantize_int8(model, params, state, int8_calib)
+            state = {}
         self.model = model
         self.params = jax.device_put(params)
         self.state = jax.device_put(state)
@@ -37,6 +46,18 @@ class InferenceEngine:
 
     def _fn(self):
         model, compute_dtype = self.model, self.compute_dtype
+
+        if self._quantized:
+            from cnn_tpu.quant import quantized_apply
+
+            def forward(qparams, state, images_u8):
+                del state
+                x = images_u8.astype(jnp.float32) / 255.0
+                logits = quantized_apply(model, qparams, x)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(probs, axis=-1), probs
+
+            return forward
 
         def forward(params, state, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0

@@ -45,6 +45,10 @@ def main(argv=None):
                          "micro-batching")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--batch-timeout-ms", type=float, default=2.0)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the post-training-quantized graph (BN "
+                         "folded, s8 matmuls on the MXU); the request "
+                         "images themselves calibrate activation scales")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
@@ -52,7 +56,6 @@ def main(argv=None):
                       image_size=args.image_size, batch_norm=args.batch_norm)
     params, state = load_params(args.checkpoint, model)
     buckets = (1,) if args.stream else (1, 8, args.max_batch)
-    engine = InferenceEngine(model, params, state, buckets=buckets)
 
     paths = args.images
     if not paths or paths == ["-"]:
@@ -62,6 +65,12 @@ def main(argv=None):
         if img is None:
             print(f"{p}\tERROR\tunreadable", flush=True)
     loaded = [(p, img) for p, img in loaded if img is not None]
+
+    int8_calib = None
+    if args.int8 and loaded:
+        int8_calib = np.stack([img for _, img in loaded[:64]])
+    engine = InferenceEngine(model, params, state, buckets=buckets,
+                             int8_calib=int8_calib)
 
     def emit(path, label, probs):
         print(f"{path}\t{categories[label]}\t{probs[label]:.6f}", flush=True)

@@ -175,3 +175,16 @@ def test_train_cli_device_dataset_steps_per_call(tmp_path, capsys):
     assert "training done!" in out
     names = sorted(os.listdir(tmp_path))
     assert any(n.startswith("iter_4_") for n in names), names
+
+
+@needs_reference
+def test_serve_cli_int8(capsys):
+    """--int8 serves the quantized graph with the same classifications."""
+    from cnn_tpu.tools import serve
+    args = [f"{IMAGES}/dog.jpg", f"{IMAGES}/panda.jpg", f"{IMAGES}/bird.jpg",
+            "--checkpoint", CKPT, "--max-batch", "4", "--int8"]
+    assert serve.main(args) == 0
+    out = capsys.readouterr().out
+    assert "dog.jpg\tdog\t" in out
+    assert "panda.jpg\tpanda\t" in out
+    assert "bird.jpg\tbird\t" in out

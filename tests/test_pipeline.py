@@ -235,3 +235,24 @@ def test_stacked_blocks_remat_matches_plain():
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
                                rtol=1e-6)
     assert _max_dev(ts_a.params, ts_b.params) < 1e-6
+
+
+def test_bn_free_deep_trunk_stable_at_init():
+    """Regression: at width 64 x 8 blocks the reference's N(0,1)/10 init
+    compounds a >1 residual gain per block and overflows bf16 within the
+    first steps. The zero-init last conv (Fixup-style) makes the trunk the
+    identity at init — activations and the first training steps must stay
+    finite in bf16."""
+    model = PipeCNN(num_classes=3, width=64, n_blocks=8, image_size=64,
+                    batch_norm=False)
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(0))
+    step = make_train_step(model, opt, compute_dtype=jnp.bfloat16,
+                           donate=False)
+    x, y = _data(np.random.default_rng(13), n=8, size=64)
+    for _ in range(3):
+        ts, m = step(ts, x, y)
+        assert np.isfinite(float(m["loss"])), "bf16 overflow in BN-free trunk"
+    # the zero conv is training (nonzero after updates), not dead
+    w2 = ts.params["trunk"]["body"]["b_conv2"]["w"]
+    assert float(jnp.max(jnp.abs(w2))) > 0.0

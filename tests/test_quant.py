@@ -1,0 +1,148 @@
+"""Post-training quantization: BN folding + int8 serving path.
+
+Oracles: BN folding must reproduce the f32 eval graph to float precision
+(it is algebra, not approximation); the int8 path is approximate by
+construction, so its bar is task-level — classification agreement with the
+f32 graph on the reference's own headline checkpoint and oracle images.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_tpu import optim
+from cnn_tpu.models import get_model
+from cnn_tpu.parallel import create_train_state, make_train_step
+from cnn_tpu.quant import (calibrate_activation_scales, fold_batchnorm,
+                           make_int8_forward, quantize_int8)
+
+REF_CKPT = ("/root/reference/cpu/checkpoints/AlexNet_aug_1e-3/"
+            "iter_395000_train_0.918_valid_0.913.model")
+needs_reference = pytest.mark.skipif(not os.path.exists(REF_CKPT),
+                                     reason="reference checkpoint absent")
+
+
+def _trained_bn_alexnet(steps=3, image_size=64):
+    model = get_model("alexnet", num_classes=3, batch_norm=True,
+                      image_size=image_size)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(1))
+    step = make_train_step(model, opt, donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (16, image_size, image_size, 3),
+                                 dtype=np.uint8))
+    y = jnp.asarray(np.arange(16, dtype=np.int32) % 3)
+    for _ in range(steps):
+        ts, _ = step(ts, x, y)
+    return model, ts
+
+
+def test_fold_batchnorm_exact():
+    """Folded conv+BN == conv->BN eval graph (affine algebra, ~1e-5)."""
+    model, ts = _trained_bn_alexnet()
+    folded, fparams = fold_batchnorm(model, ts.params, ts.state)
+    assert not any(l.name.startswith("bn") for l in folded.net.layers)
+    x = jnp.asarray(np.random.default_rng(2).integers(
+        0, 256, (4, 64, 64, 3), np.uint8)).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    l1, _, _ = folded.apply(fparams, {}, x)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fold_batchnorm_identity_without_bn():
+    model = get_model("alexnet", num_classes=3, image_size=64)
+    params, state = model.init(jax.random.key(0))
+    folded, fparams = fold_batchnorm(model, params, state)
+    assert len(folded.net.layers) == len(model.net.layers)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(params),
+                              jax.tree.leaves(fparams)):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+def test_quantized_weights_are_int8_with_per_channel_scales():
+    model, ts = _trained_bn_alexnet()
+    calib = np.random.default_rng(3).integers(0, 256, (8, 64, 64, 3),
+                                              dtype=np.uint8)
+    folded, qparams = quantize_int8(model, ts.params, ts.state, calib)
+    conv = qparams["conv_layer_1"]
+    assert conv["w_q"].dtype == jnp.int8
+    assert conv["w_scale"].shape == (conv["w_q"].shape[-1],)
+    assert int(jnp.max(jnp.abs(conv["w_q"].astype(jnp.int32)))) <= 127
+    # dequantized weights approximate the folded originals
+    _, fparams = fold_batchnorm(model, ts.params, ts.state)
+    w = np.asarray(fparams["conv_layer_1"]["w"])
+    wd = np.asarray(conv["w_q"]).astype(np.float32) * np.asarray(
+        conv["w_scale"])
+    assert np.abs(w - wd).max() <= np.abs(w).max() / 127.0 + 1e-6
+
+
+def test_activation_calibration_covers_every_matmul_layer():
+    model, ts = _trained_bn_alexnet()
+    folded, fparams = fold_batchnorm(model, ts.params, ts.state)
+    calib = np.random.default_rng(4).integers(0, 256, (8, 64, 64, 3),
+                                              dtype=np.uint8)
+    scales = calibrate_activation_scales(folded, fparams, {}, calib)
+    matmul = [l.name for l in folded.net.layers
+              if l.name.startswith(("conv", "linear"))]
+    assert sorted(scales) == sorted(matmul)
+    assert all(s > 0 for s in scales.values())
+
+
+def test_int8_forward_agrees_on_synthetic_model():
+    """Int8 graph classifies like f32 on in-calibration-range inputs."""
+    model, ts = _trained_bn_alexnet(steps=10)
+    rng = np.random.default_rng(5)
+    calib = rng.integers(0, 256, (16, 64, 64, 3), dtype=np.uint8)
+    test = rng.integers(0, 256, (32, 64, 64, 3), dtype=np.uint8)
+
+    x = jnp.asarray(test).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+
+    fwd = make_int8_forward(model, ts.params, ts.state, calib)
+    probs = np.asarray(fwd(jnp.asarray(test)))
+    agree = (probs.argmax(1) == f32_pred).mean()
+    assert agree >= 0.9, f"int8/f32 agreement {agree}"
+
+
+@needs_reference
+def test_int8_reference_checkpoint_classification_parity():
+    """The reference's own headline checkpoint, quantized: all oracle
+    images classify identically to the f32 graph."""
+    import cv2
+    from cnn_tpu.utils.checkpoint import import_reference_model
+
+    model = get_model("alexnet", num_classes=3)
+    params, state = import_reference_model(REF_CKPT, model.net)
+    names = [("dog", 0), ("dog_3", 0), ("panda", 1), ("panda_2", 1),
+             ("bird", 2), ("bird_2", 2), ("bird_3", 2)]
+    imgs = np.stack([cv2.resize(
+        cv2.imread(f"/root/reference/datasets/images/{n}.jpg"), (224, 224))
+        for n, _ in names])
+    fwd = make_int8_forward(model, params, state, imgs)
+    probs = np.asarray(fwd(jnp.asarray(imgs)))
+    assert probs.argmax(1).tolist() == [c for _, c in names]
+
+    x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(params, state, x)
+    f32 = np.asarray(jax.nn.softmax(l0, axis=-1))
+    assert np.abs(probs - f32).max() < 0.1  # int8 quantization budget
+
+
+def test_engine_int8_mode():
+    from cnn_tpu.serving import InferenceEngine
+    model, ts = _trained_bn_alexnet(steps=10)
+    rng = np.random.default_rng(6)
+    calib = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    test = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+
+    ref = InferenceEngine(model, ts.params, ts.state, buckets=(8,))
+    q = InferenceEngine(model, ts.params, ts.state, buckets=(8,),
+                        int8_calib=calib)
+    l_ref, _ = ref.predict(test)
+    l_q, _ = q.predict(test)
+    assert (l_ref == l_q).mean() >= 0.8
