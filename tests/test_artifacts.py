@@ -45,3 +45,25 @@ def test_exported_model_files_have_bn_layout():
         assert raw.size == reference_param_count(model.net)
         params, state = import_reference_model(path, model.net)
         assert "bn_layer_1" in state
+
+
+def test_pipecnn_checkpoint_classifies_oracle_images():
+    """The committed pipecnn run (valid 0.900 / test 0.907, BASELINE.md)
+    loads into the current model code and classifies the oracle images."""
+    from cnn_tpu.models import get_model
+    from cnn_tpu.utils.checkpoint import load_checkpoint
+
+    pdir = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                        "pipecnn")
+    cks = sorted(glob.glob(os.path.join(pdir, "*.ckpt")))
+    if not cks:
+        pytest.skip("no pipecnn checkpoint committed")
+    fx = np.load(PARITY_FIX)
+    model = get_model("pipecnn", num_classes=3, batch_norm=True)
+    ts = load_checkpoint(cks[-1])
+    correct = 0
+    for stem in range(6):
+        x = jnp.asarray(fx[f"image_u8_{stem}"][None]).astype(jnp.float32) / 255.0
+        logits, _, _ = model.apply(ts.params, ts.state, x, train=False)
+        correct += int(np.asarray(logits).argmax() == int(fx[f"label_{stem}"]))
+    assert correct >= 5, correct
