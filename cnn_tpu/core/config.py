@@ -83,6 +83,10 @@ class TrainConfig:
     model_parallel: int = 1
     spatial_parallel: int = 1       # shard activation rows (SP for CNNs);
                                     # XLA inserts conv halo exchanges
+    expert_parallel: int = 1        # shard MoE experts over an 'expert' axis
+    pipeline_stages: int = 1        # GPipe stages over a 'stage' axis
+                                    # (models with a StackedBlocks trunk)
+    microbatches: int = 4           # GPipe microbatches per step
     multihost: bool = False         # jax.distributed.initialize() for multi-host
                                     # slices (same SPMD code; DCN joins the mesh)
     coordinator: str = ""           # host:port of process 0 ('' = from env)

@@ -19,20 +19,25 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data_parallel: int = 0, model_parallel: int = 1,
-              spatial_parallel: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh, plus a 'spatial' axis when
-    ``spatial_parallel > 1``. data_parallel=0 means 'use the rest'."""
+              spatial_parallel: int = 1, expert_parallel: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model'[, 'spatial'][, 'expert']) mesh; axes beyond
+    the first two appear only when their size is > 1 (so the common 2-axis
+    case keeps its shape everywhere). data_parallel=0 means 'use the rest'.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    extra = model_parallel * spatial_parallel * expert_parallel
     if data_parallel <= 0:
-        assert n % (model_parallel * spatial_parallel) == 0, \
-            (n, model_parallel, spatial_parallel)
-        data_parallel = n // (model_parallel * spatial_parallel)
-    need = data_parallel * model_parallel * spatial_parallel
+        assert n % extra == 0, (n, model_parallel, spatial_parallel,
+                                expert_parallel)
+        data_parallel = n // extra
+    need = data_parallel * extra
     assert need <= n, f"need {need} devices, have {n}"
+    dims = [("data", data_parallel), ("model", model_parallel)]
     if spatial_parallel > 1:
-        arr = np.asarray(devices[:need]).reshape(
-            data_parallel, model_parallel, spatial_parallel)
-        return Mesh(arr, axis_names=("data", "model", "spatial"))
-    arr = np.asarray(devices[:need]).reshape(data_parallel, model_parallel)
-    return Mesh(arr, axis_names=("data", "model"))
+        dims.append(("spatial", spatial_parallel))
+    if expert_parallel > 1:
+        dims.append(("expert", expert_parallel))
+    arr = np.asarray(devices[:need]).reshape([d for _, d in dims])
+    return Mesh(arr, axis_names=tuple(name for name, _ in dims))

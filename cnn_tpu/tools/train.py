@@ -117,16 +117,37 @@ def main(argv=None):
                                weight_decay=train_cfg.weight_decay)
 
     n_dev = len(jax.devices())
-    mesh = None
-    if (n_dev > 1 or train_cfg.model_parallel > 1
-            or train_cfg.spatial_parallel > 1):
+    mesh = pp_mesh = None
+    if train_cfg.pipeline_stages > 1:
+        # GPipe pipeline parallelism (parallel/pipeline.py): its own
+        # ('data', 'stage') mesh and explicit-collective train step
+        from jax.sharding import Mesh as _Mesh
+        assert not data_cfg.device_dataset, \
+            "--pipeline-stages uses the host-loader path"
+        assert not device_augment, \
+            "--pipeline-stages augments in the host loader (drop --device-augment)"
+        assert train_cfg.train_batch_size % train_cfg.microbatches == 0
+        stages = train_cfg.pipeline_stages
+        dp = train_cfg.data_parallel or max(1, n_dev // stages)
+        devs = jax.devices()[:dp * stages]
+        pp_mesh = _Mesh(np.asarray(devs).reshape(dp, stages),
+                        ("data", "stage"))
+        print(f"pipeline mesh: {dict(pp_mesh.shape)} "
+              f"(microbatches {train_cfg.microbatches})")
+    elif (n_dev > 1 or train_cfg.model_parallel > 1
+            or train_cfg.spatial_parallel > 1
+            or train_cfg.expert_parallel > 1):
         mesh = make_mesh(train_cfg.data_parallel, train_cfg.model_parallel,
-                         train_cfg.spatial_parallel)
+                         train_cfg.spatial_parallel,
+                         train_cfg.expert_parallel)
         print(f"mesh: {dict(mesh.shape)}")
 
     compute_dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else None
     ts = create_train_state(model, opt, jax.random.key(train_cfg.seed))
-    if mesh is not None:
+    if pp_mesh is not None:
+        from cnn_tpu.parallel import shard_pp_train_state
+        ts = shard_pp_train_state(ts, pp_mesh, model)
+    elif mesh is not None:
         ts = shard_train_state(ts, mesh, model)
 
     resume = train_cfg.resume
@@ -139,7 +160,10 @@ def main(argv=None):
     start_iters = train_cfg.start_iters
     if resume and os.path.exists(resume):
         ts = load_checkpoint(resume)
-        if mesh is not None:
+        if pp_mesh is not None:
+            from cnn_tpu.parallel import shard_pp_train_state
+            ts = shard_pp_train_state(ts, pp_mesh, model)
+        elif mesh is not None:
             # load_checkpoint returns host-replicated arrays; restore the
             # DP/TP placement the fresh state had
             ts = shard_train_state(ts, mesh, model)
@@ -192,12 +216,26 @@ def main(argv=None):
             donate=train_cfg.donate,
             label_smoothing=train_cfg.label_smoothing, mesh=mesh,
             steps_per_call=train_cfg.steps_per_call)
+    elif pp_mesh is not None:
+        from cnn_tpu.parallel import make_pp_train_step
+        step_fn = make_pp_train_step(
+            model, opt, pp_mesh, n_microbatches=train_cfg.microbatches,
+            compute_dtype=compute_dtype, donate=train_cfg.donate,
+            label_smoothing=train_cfg.label_smoothing)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,
                                   augment_fn=augment_fn,
                                   label_smoothing=train_cfg.label_smoothing)
-    eval_fn = make_eval_step(model, compute_dtype=compute_dtype, mesh=mesh)
+    if pp_mesh is not None:
+        # M=1 for eval: ragged final validation batches need no microbatch
+        # divisibility, and eval gains nothing from pipelining bubbles
+        from cnn_tpu.parallel import make_pp_eval_step
+        eval_fn = make_pp_eval_step(model, pp_mesh, n_microbatches=1,
+                                    compute_dtype=compute_dtype)
+    else:
+        eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
+                                 mesh=mesh)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
     history = HistoryWriter(

@@ -188,3 +188,39 @@ def test_serve_cli_int8(capsys):
     assert "dog.jpg\tdog\t" in out
     assert "panda.jpg\tpanda\t" in out
     assert "bird.jpg\tbird\t" in out
+
+
+def test_train_cli_pipeline_stages(tmp_path, capsys):
+    """--pipeline-stages: the GPipe path end to end from the CLI (PP4 over
+    the virtual mesh, host loader, validation with M=1)."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--name", "pipecnn", "--batch-norm", "true",
+                     "--image-size", "32", "--total-iters", "4",
+                     "--valid-iters", "4", "--save-iters", "4",
+                     "--train-batch-size", "8", "--valid-batch-size", "64",
+                     "--pipeline-stages", "4", "--microbatches", "2",
+                     "--data-parallel", "2",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--augment", "false", "--cache", "true",
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pipeline mesh: {'data': 2, 'stage': 4}" in out
+    assert "training done!" in out
+
+
+def test_train_cli_expert_parallel(tmp_path, capsys):
+    """--expert-parallel: MoE experts shard over the 'expert' mesh axis."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--name", "moecnn", "--image-size", "32",
+                     "--total-iters", "4", "--valid-iters", "4",
+                     "--save-iters", "4", "--train-batch-size", "8",
+                     "--valid-batch-size", "64",
+                     "--expert-parallel", "4", "--data-parallel", "2",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--augment", "false", "--cache", "true",
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'expert': 4" in out
+    assert "training done!" in out
