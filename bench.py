@@ -28,6 +28,14 @@ PEAK_BF16_FLOPS = {
 }
 
 
+def peak_bf16_flops() -> float:
+    """This chip's bf16 peak (197e12 fallback for unknown kinds)."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    return next((v for k, v in PEAK_BF16_FLOPS.items()
+                 if kind.startswith(k)), 197e12)
+
+
 def analytic_train_flops_per_image(model) -> float:
     """MXU FLOPs of one train step per image (see cnn_tpu/utils/flops.py —
     recurses through residual blocks and scanned stacks)."""
@@ -164,9 +172,7 @@ def measure_pipecnn_mfu(width: int = 128, n_blocks: int = 8,
         ts, m = step(ts, x, y)
     float(m["loss"])
     ips = batch_size * iters / (time.perf_counter() - t0)
-    peak = next((v for k, v in PEAK_BF16_FLOPS.items()
-                 if jax.devices()[0].device_kind.startswith(k)), 197e12)
-    return ips, ips * train_flops_per_image(model) / peak
+    return ips, ips * train_flops_per_image(model) / peak_bf16_flops()
 
 
 def measure_infer_device_ms(n: int = 100) -> float:
@@ -287,8 +293,7 @@ def main():
 
     from cnn_tpu.models import AlexNet
     flops_img = analytic_train_flops_per_image(AlexNet(num_classes=3))
-    peak = next((v for k, v in PEAK_BF16_FLOPS.items()
-                 if jax.devices()[0].device_kind.startswith(k)), 197e12)
+    peak = peak_bf16_flops()
     # roofline context: 111k-param model, Cin=3 first conv, 224px activations
     # — the step is activation-bandwidth/overhead bound, not MXU bound, so
     # single-digit MFU is the physics of this model shape, not a tuning gap

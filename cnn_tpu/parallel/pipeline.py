@@ -225,13 +225,20 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
 def make_pp_eval_step(model, mesh: Mesh, *, n_microbatches: int = 1,
                       compute_dtype=None):
     """Jitted pipeline-parallel eval: ``(params, state, images, labels) ->
-    {loss, correct, pred}`` (train=False, moving BN stats)."""
+    {loss, correct, pred}`` (train=False, moving BN stats).
+
+    Ragged batches are fine: the batch is zero-padded up to the shard_map
+    divisibility requirement (data_dim * M) inside the step, the forward
+    returns gathered logits, and metrics are computed outside shard_map on
+    the unpadded slice — matching the GSPMD eval path's semantics.
+    """
     stem, trunk, head = pp_decompose(model)
     S = mesh.shape["stage"]
     pspec, sspec, bspec = _specs(model, mesh, trunk.name)
     data_axis = "data" if "data" in mesh.axis_names else None
+    data_dim = mesh.shape.get("data", 1)
 
-    def device_fn(params, state, images, labels):
+    def device_fn(params, state, images):
         s = lax.axis_index("stage")
         h, _, _ = stem.apply(params, state, images, train=False,
                              compute_dtype=compute_dtype)
@@ -243,27 +250,29 @@ def make_pp_eval_step(model, mesh: Mesh, *, n_microbatches: int = 1,
                                   compute_dtype=compute_dtype)
         logits = jnp.where(s == S - 1, logits.astype(jnp.float32), 0.0)
         logits = lax.psum(logits, "stage")   # broadcast from the last stage
-        log_p = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(logits, axis=-1)
-        loss = jnp.mean(nll)
-        correct = jnp.sum((pred == labels).astype(jnp.int32))
         if data_axis:
-            loss = lax.pmean(loss, data_axis)
-            correct = lax.psum(correct, data_axis)
-            pred = jax.lax.all_gather(pred, data_axis, tiled=True)
-        return loss, correct, pred
+            logits = lax.all_gather(logits, data_axis, axis=0, tiled=True)
+        return logits
 
     spmd = jax.shard_map(device_fn, mesh=mesh,
-                         in_specs=(pspec, sspec, bspec, bspec),
-                         out_specs=(P(), P(), P()),
-                         check_vma=False)
+                         in_specs=(pspec, sspec, bspec),
+                         out_specs=P(), check_vma=False)
 
     @jax.jit
     def step(params, state, images, labels):
         images = _prep(images, compute_dtype)
-        loss, correct, pred = spmd(params, state, images, labels)
-        return {"loss": loss, "correct": correct, "pred": pred}
+        b = images.shape[0]
+        pad = (-b) % (data_dim * n_microbatches)
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)])
+        logits = spmd(params, state, images)[:b]
+        log_p = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+        pred = jnp.argmax(logits, axis=-1)
+        return {"loss": jnp.mean(nll),
+                "correct": jnp.sum((pred == labels).astype(jnp.int32)),
+                "pred": pred}
 
     return step
 

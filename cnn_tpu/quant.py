@@ -180,10 +180,13 @@ def make_int8_forward(model, params, state, calib_images_u8):
     """Jitted uint8 -> softmax probs through the folded int8 graph."""
     folded, qparams = quantize_int8(model, params, state, calib_images_u8)
 
+    # weights enter as jit ARGUMENTS, never closure captures — captured
+    # arrays constant-fold into the HLO (CLAUDE.md hazard)
     @jax.jit
-    def forward(images_u8):
+    def forward(qp, images_u8):
         x = images_u8.astype(jnp.float32) / 255.0
-        logits = quantized_apply(folded, qparams, x)
+        logits = quantized_apply(folded, qp, x)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    return forward
+    qparams = jax.device_put(qparams)
+    return lambda images_u8: forward(qparams, images_u8)

@@ -126,9 +126,17 @@ def main(argv=None):
             "--pipeline-stages uses the host-loader path"
         assert not device_augment, \
             "--pipeline-stages augments in the host loader (drop --device-augment)"
-        assert train_cfg.train_batch_size % train_cfg.microbatches == 0
         stages = train_cfg.pipeline_stages
         dp = train_cfg.data_parallel or max(1, n_dev // stages)
+        # the real constraint is PER DATA SHARD: each shard's sub-batch
+        # must split into the GPipe microbatches
+        assert train_cfg.train_batch_size % dp == 0, \
+            f"--train-batch-size {train_cfg.train_batch_size} must divide " \
+            f"over {dp} data shards"
+        assert (train_cfg.train_batch_size // dp) % train_cfg.microbatches \
+            == 0, \
+            f"per-shard batch {train_cfg.train_batch_size // dp} must " \
+            f"divide into {train_cfg.microbatches} microbatches"
         devs = jax.devices()[:dp * stages]
         pp_mesh = _Mesh(np.asarray(devs).reshape(dp, stages),
                         ("data", "stage"))
@@ -228,8 +236,8 @@ def main(argv=None):
                                   augment_fn=augment_fn,
                                   label_smoothing=train_cfg.label_smoothing)
     if pp_mesh is not None:
-        # M=1 for eval: ragged final validation batches need no microbatch
-        # divisibility, and eval gains nothing from pipelining bubbles
+        # M=1 for eval (bubble-only pipelining gains nothing there); the
+        # eval step zero-pads ragged final validation batches internally
         from cnn_tpu.parallel import make_pp_eval_step
         eval_fn = make_pp_eval_step(model, pp_mesh, n_microbatches=1,
                                     compute_dtype=compute_dtype)
@@ -253,9 +261,13 @@ def main(argv=None):
     chunk = train_cfg.steps_per_call if device_mode else 1
     if chunk > 1:
         # every chunk advances `chunk` iterations inside one program, so
-        # the validate/save cadence must land on chunk boundaries
+        # the validate/save cadence, the total, and any resume point must
+        # all land on chunk boundaries (nothing silently dropped)
         assert train_cfg.valid_iters % chunk == 0, \
             (train_cfg.valid_iters, chunk)
+        assert train_cfg.total_iters % chunk == 0, \
+            f"--total-iters {train_cfg.total_iters} must be a multiple of " \
+            f"--steps-per-call {chunk}"
         assert (start_iters - 1) % chunk == 0, \
             f"resume step {start_iters - 1} must align with --steps-per-call"
     with trace(train_cfg.profile_dir or None):
@@ -267,7 +279,10 @@ def main(argv=None):
                 # are sampled at the logging cadence instead)
                 ts, metrics = step_fn(ts)
                 timer.tick(bs * chunk)
-                if (it % 100 == 0 or it == train_cfg.total_iters
+                # `it % 100 < chunk` fires once per crossed 100-multiple so
+                # the sampling cadence survives chunk sizes that don't
+                # divide 100
+                if (it % 100 < chunk or it == train_cfg.total_iters
                         or it % train_cfg.valid_iters == 0):
                     mean_loss.add(float(metrics["loss"]))
                     train_eval.add_counts(int(metrics["correct"]), bs * chunk)
@@ -278,7 +293,7 @@ def main(argv=None):
                 train_eval.add_counts(int(metrics["correct"]), len(labels))
                 timer.tick(len(labels))
 
-            if it % 100 == 0 or it == train_cfg.total_iters:
+            if it % 100 < chunk or it == train_cfg.total_iters:
                 print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
                       f"[loss {mean_loss.get():.3f}] [Accuracy {train_eval.get():.3f}] "
                       f"[{timer.images_per_sec:.1f} img/s]", end="", flush=True)

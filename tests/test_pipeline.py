@@ -256,3 +256,27 @@ def test_bn_free_deep_trunk_stable_at_init():
     # the zero conv is training (nonzero after updates), not dead
     w2 = ts.params["trunk"]["body"]["b_conv2"]["w"]
     assert float(jnp.max(jnp.abs(w2))) > 0.0
+
+
+def test_pp_eval_ragged_batch_with_data_axis():
+    """Regression (review finding): eval on a ('data','stage') mesh must
+    accept batches that don't divide over 'data' — the step zero-pads to
+    the shard_map requirement and metrics cover only the real rows."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=8, image_size=32)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(12))
+    x, y = _data(np.random.default_rng(14), n=7)  # 7 % 2 != 0
+
+    from cnn_tpu.parallel import make_eval_step
+    ref = make_eval_step(model)(ts.params, ts.state, x, y)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "stage"))
+    tsp = shard_pp_train_state(ts, mesh, model)
+    ev = make_pp_eval_step(model, mesh, n_microbatches=2)
+    out = ev(tsp.params, tsp.state, x, y)
+
+    np.testing.assert_allclose(float(ref["loss"]), float(out["loss"]),
+                               rtol=1e-5)
+    assert int(ref["correct"]) == int(out["correct"])
+    np.testing.assert_array_equal(np.asarray(ref["pred"]),
+                                  np.asarray(out["pred"]))
