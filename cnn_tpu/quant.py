@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cnn_tpu.nn.module import BatchNorm2D, Conv2D, Linear
+from cnn_tpu.nn.module import (BatchNorm2D, Conv2D, Linear, ResidualBlock,
+                               StackedBlocks)
 from cnn_tpu.nn.sequential import Sequential
 
 
@@ -51,29 +52,42 @@ class FoldedModel(NamedTuple):
         return self.net.init(key, dtype or jnp.float32)
 
 
-def fold_batchnorm(model, params, state):
-    """Fold every top-level Conv2D -> BatchNorm2D pair; drop the BN layers.
+def _fold_conv_bn(conv_p, bn_p, bn_s, eps):
+    """The folding algebra. Broadcasting handles stacked ``[L, ...]``
+    leaves (scanned trunks) and plain leaves alike."""
+    inv = bn_p["gamma"] / jnp.sqrt(bn_s["var"] + eps)
+    return {"w": conv_p["w"] * inv[..., None, None, None, :],
+            "b": (conv_p["b"] - bn_s["mean"]) * inv + bn_p["beta"]}
 
-    Returns ``(folded_model, folded_params)``; the folded model has empty
-    state (eval-only). Layers other than folded-away BNs keep their names,
-    so checkpoint tooling and Grad-CAM capture still address them.
-    """
-    layers = list(model.net.layers)
+
+def _fold_layer_list(layers, params, state):
+    """Fold Conv2D->BatchNorm2D pairs in a flat layer list."""
     new_layers, new_params = [], {}
     i = 0
     while i < len(layers):
         layer = layers[i]
         nxt = layers[i + 1] if i + 1 < len(layers) else None
         if (isinstance(layer, Conv2D) and isinstance(nxt, BatchNorm2D)):
-            p = params[layer.name]
-            bn_p, bn_s = params[nxt.name], state[nxt.name]
-            inv = bn_p["gamma"] / jnp.sqrt(bn_s["var"] + nxt.eps)
-            new_params[layer.name] = {
-                "w": p["w"] * inv[None, None, None, :],
-                "b": (p["b"] - bn_s["mean"]) * inv + bn_p["beta"],
-            }
+            new_params[layer.name] = _fold_conv_bn(
+                params[layer.name], params[nxt.name], state[nxt.name],
+                nxt.eps)
             new_layers.append(layer)
             i += 2
+            continue
+        if isinstance(layer, StackedBlocks):
+            if layer.block.proj is not None:
+                raise ValueError("projection shortcuts not supported")
+            bp = params[layer.name]["body"]
+            bs = (state.get(layer.name) or {}).get("body", {})
+            body_layers, body_params = _fold_layer_list(
+                list(layer.block.body.layers), bp, bs)
+            folded_block = ResidualBlock(layer.block.name,
+                                         body=Sequential(body_layers))
+            new_layers.append(StackedBlocks(layer.name, block=folded_block,
+                                            n_blocks=layer.n_blocks,
+                                            remat=layer.remat))
+            new_params[layer.name] = {"body": body_params}
+            i += 1
             continue
         if layer.has_state:
             raise ValueError(
@@ -83,6 +97,19 @@ def fold_batchnorm(model, params, state):
             new_params[layer.name] = params[layer.name]
         new_layers.append(layer)
         i += 1
+    return new_layers, new_params
+
+
+def fold_batchnorm(model, params, state):
+    """Fold every Conv2D -> BatchNorm2D pair (including inside scanned
+    residual trunks); drop the BN layers.
+
+    Returns ``(folded_model, folded_params)``; the folded model has empty
+    state (eval-only). Layers other than folded-away BNs keep their names,
+    so checkpoint tooling and Grad-CAM capture still address them.
+    """
+    new_layers, new_params = _fold_layer_list(
+        list(model.net.layers), params, state or {})
     return (FoldedModel(Sequential(new_layers), model.image_size,
                         model.num_classes), new_params)
 
@@ -98,11 +125,32 @@ def _quantize_weight(w: jnp.ndarray, axis: int):
     return q.astype(jnp.int8), scale
 
 
+def _scale_of(x) -> float:
+    return float(jnp.max(jnp.abs(x))) / 127.0 or 1e-12
+
+
+def _trunk_calibrate(trunk: StackedBlocks, tparams, h):
+    """Unroll the (folded, BN-free) trunk over a calibration batch to get a
+    per-block input scale for every conv: ``{conv_name: [L]}``."""
+    body = trunk.block.body.layers
+    scales = {l.name: [] for l in body if isinstance(l, Conv2D)}
+    for i in range(trunk.n_blocks):
+        p_i = jax.tree.map(lambda a: a[i], tparams["body"])
+        x = h
+        for l in body:
+            if isinstance(l, Conv2D):
+                scales[l.name].append(_scale_of(x))
+            x, _ = l.apply(p_i.get(l.name), None, x, train=False)
+        h = jax.nn.relu(x + h)          # ResidualBlock combine (no proj)
+    return {k: jnp.asarray(v, jnp.float32) for k, v in scales.items()}
+
+
 def calibrate_activation_scales(model, params, state, images_u8) -> dict:
     """Per-layer input absmax/127 over a calibration batch.
 
     The input of layer i is the output of layer i-1 (layer 0 sees the
-    /255-normalized image), so one captured forward provides every scale.
+    /255-normalized image), so one captured forward provides every scale;
+    scanned trunks are unrolled to give each block its own scales.
     """
     net = model.net
     names = [l.name for l in net.layers]
@@ -111,14 +159,28 @@ def calibrate_activation_scales(model, params, state, images_u8) -> dict:
     scales, prev = {}, x
     for layer in net.layers:
         if isinstance(layer, (Conv2D, Linear)):
-            scales[layer.name] = float(jnp.max(jnp.abs(prev))) / 127.0 or 1e-12
+            scales[layer.name] = _scale_of(prev)
+        elif isinstance(layer, StackedBlocks):
+            scales[layer.name] = _trunk_calibrate(layer, params[layer.name],
+                                                  prev)
         prev = acts[layer.name]
     return scales
 
 
+def _quantize_weight_stacked(w: jnp.ndarray):
+    """Per-(block, output-channel) symmetric int8 for ``[L, ..., out]``."""
+    axes = tuple(range(1, w.ndim - 1))
+    absmax = jnp.max(jnp.abs(w), axis=axes)              # [L, out]
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    shape = (w.shape[0],) + (1,) * (w.ndim - 2) + (w.shape[-1],)
+    q = jnp.clip(jnp.round(w / scale.reshape(shape)), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_int8(model, params, state, calib_images_u8):
     """-> (folded_model, qparams): int8 weights + scales for every matmul
-    layer; non-matmul layers keep their f32 params."""
+    layer (including scanned-trunk convs, per block); non-matmul layers
+    keep their f32 params."""
     folded, fparams = fold_batchnorm(model, params, state)
     act_scales = calibrate_activation_scales(
         folded, fparams, {}, calib_images_u8)
@@ -136,6 +198,18 @@ def quantize_int8(model, params, state, calib_images_u8):
                                    "b": fparams[layer.name]["b"],
                                    "in_scale": jnp.float32(
                                        act_scales[layer.name])}
+        elif isinstance(layer, StackedBlocks):
+            body_p = fparams[layer.name]["body"]
+            trunk_q = {}
+            for blk_layer in layer.block.body.layers:
+                if not isinstance(blk_layer, Conv2D):
+                    continue
+                q, s = _quantize_weight_stacked(body_p[blk_layer.name]["w"])
+                trunk_q[blk_layer.name] = {
+                    "w_q": q, "w_scale": s,
+                    "b": body_p[blk_layer.name]["b"],
+                    "in_scale": act_scales[layer.name][blk_layer.name]}
+            qparams[layer.name] = trunk_q
         elif layer.has_params:
             qparams[layer.name] = fparams[layer.name]
     return folded, qparams
@@ -145,22 +219,40 @@ def _q_act(x, in_scale):
     return jnp.clip(jnp.round(x / in_scale), -127, 127).astype(jnp.int8)
 
 
+def _q_conv(layer: Conv2D, p: dict, x: jnp.ndarray):
+    from jax import lax
+    qx = _q_act(x, p["in_scale"])
+    pad = [(layer.padding, layer.padding)] * 2
+    acc = lax.conv_general_dilated(
+        qx, p["w_q"], (layer.stride, layer.stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (p["in_scale"] * p["w_scale"]) + p["b"]
+
+
 def quantized_apply(folded: FoldedModel, qparams: dict, x: jnp.ndarray):
     """Int8 forward: every conv/dense is s8 x s8 -> s32 on the MXU with an
-    f32 dequant+bias epilogue; everything else runs f32 on the VPU."""
+    f32 dequant+bias epilogue; everything else runs f32 on the VPU.
+    Scanned trunks stay scanned — per-block int8 weights/scales ride the
+    scan as xs."""
     from jax import lax
 
     for layer in folded.net.layers:
         if isinstance(layer, Conv2D):
-            p = qparams[layer.name]
-            qx = _q_act(x, p["in_scale"])
-            pad = [(layer.padding, layer.padding)] * 2
-            acc = lax.conv_general_dilated(
-                qx, p["w_q"], (layer.stride, layer.stride), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
-            x = acc.astype(jnp.float32) * (p["in_scale"] * p["w_scale"]) \
-                + p["b"]
+            x = _q_conv(layer, qparams[layer.name], x)
+        elif isinstance(layer, StackedBlocks):
+            body = layer.block.body.layers
+
+            def blk(h, inp):
+                y = h
+                for l in body:
+                    if isinstance(l, Conv2D):
+                        y = _q_conv(l, inp[l.name], y)
+                    else:
+                        y, _ = l.apply(None, None, y, train=False)
+                return jax.nn.relu(y + h), None
+
+            x, _ = lax.scan(blk, x, qparams[layer.name])
         elif isinstance(layer, Linear):
             p = qparams[layer.name]
             if x.ndim > 2:          # ops.linear flattens trailing dims

@@ -146,3 +146,56 @@ def test_engine_int8_mode():
     l_ref, _ = ref.predict(test)
     l_q, _ = q.predict(test)
     assert (l_ref == l_q).mean() >= 0.8
+
+
+def _trained_pipecnn(steps=10):
+    from cnn_tpu.models import PipeCNN
+    model = PipeCNN(num_classes=3, width=16, n_blocks=4, image_size=32)
+    opt = optim.make_optimizer("momentum", 5e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(7))
+    step = make_train_step(model, opt, donate=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.integers(0, 3, (16,), dtype=np.int32))
+    for _ in range(steps):
+        ts, _ = step(ts, x, y)
+    return model, ts
+
+
+def test_fold_batchnorm_scanned_trunk_exact():
+    """BN folding reaches inside StackedBlocks: the folded (BN-free,
+    still scanned) trunk equals the original eval graph."""
+    model, ts = _trained_pipecnn()
+    folded, fparams = fold_batchnorm(model, ts.params, ts.state)
+    trunk = folded.net["trunk"]
+    assert not trunk.has_state  # BNs folded away
+    assert trunk.n_blocks == 4 and trunk.remat == model.net["trunk"].remat
+    x = jnp.asarray(np.random.default_rng(8).integers(
+        0, 256, (4, 32, 32, 3), np.uint8)).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    l1, _, _ = folded.apply(fparams, {}, x)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_scanned_trunk_agreement():
+    """Per-block int8 trunk (weights/scales ride the scan) classifies like
+    the f32 graph; every block gets its own calibrated activation scale."""
+    model, ts = _trained_pipecnn()
+    rng = np.random.default_rng(9)
+    calib = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    test = rng.integers(0, 256, (32, 32, 32, 3), dtype=np.uint8)
+
+    folded, qparams = quantize_int8(model, ts.params, ts.state, calib)
+    tq = qparams["trunk"]
+    assert set(tq) == {"b_conv1", "b_conv2"}
+    assert tq["b_conv1"]["w_q"].dtype == jnp.int8
+    assert tq["b_conv1"]["w_q"].shape[0] == 4          # stacked [L, ...]
+    assert tq["b_conv1"]["in_scale"].shape == (4,)     # per-block scales
+
+    fwd = make_int8_forward(model, ts.params, ts.state, calib)
+    probs = np.asarray(fwd(jnp.asarray(test)))
+    x = jnp.asarray(test).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+    assert (probs.argmax(1) == f32_pred).mean() >= 0.9
