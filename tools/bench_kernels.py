@@ -93,6 +93,39 @@ def main(out_path="BENCH_kernels.json"):
                     "full_over_fast": round(t_full / t_fast, 2),
                     "default": "pallas rotate inside full policy (bf16)"})
 
+    # ---- crop-resize: banded-matmul resample vs scale_and_translate ----
+    # (the matmul formulation is the fast-path default; s_a_t reconstructed
+    # here as its XLA twin for the record)
+    def fast_st(k, images):
+        b, s = images.shape[0], images.shape[1]
+        x = images.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+
+        def one(img, key):
+            k_h, k_v, k_c, k_cy, k_cx, k_do = jax.random.split(key, 6)
+            img = jnp.where(jax.random.uniform(k_h) < 0.5, img[:, ::-1], img)
+            img = jnp.where(jax.random.uniform(k_v) < 0.2, img[::-1], img)
+            r = jnp.where(jax.random.uniform(k_do) < 0.7,
+                          0.7 + jax.random.uniform(k_c) * 0.25, 1.0)
+            oy = jax.random.uniform(k_cy) * (1.0 - r) * s
+            ox = jax.random.uniform(k_cx) * (1.0 - r) * s
+            scale = 224.0 / (r * s)
+            return jax.image.scale_and_translate(
+                img, (224, 224, img.shape[-1]), (0, 1),
+                jnp.stack([scale, scale]),
+                jnp.stack([-oy * scale, -ox * scale]), method="linear")
+
+        return jax.vmap(one)(x, jax.random.split(k, b))
+
+    f_st = jax.jit(fast_st)
+    t_st = timeit(f_st, jax.random.key(0), xu, iters=20)
+    print(f"crop-resize: matmul {1e3*t_fast:.2f} ms vs "
+          f"scale_and_translate {1e3*t_st:.2f} ms ({t_st/t_fast:.2f}x)")
+    results.append({"kernel": "resample_matmul_bf16", "shape": list(xu.shape),
+                    "matmul_ms": round(1e3 * t_fast, 3),
+                    "scale_and_translate_ms": round(1e3 * t_st, 3),
+                    "speedup_vs_xla": round(t_st / t_fast, 2),
+                    "default": "matmul"})
+
     # ---- normalize ----
     x = jnp.asarray(rng.integers(0, 256, (256, 224, 224, 3), dtype=np.uint8))
     f_pl = jax.jit(uint8_normalize_pallas)
