@@ -339,3 +339,28 @@ def test_spatial_partitioning_eval_and_resnet():
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(out1["pred"]),
                                   np.asarray(out2["pred"]))
+
+
+def test_composed_dp_tp_sp_mesh():
+    """Three parallelism axes in ONE mesh (data2 x model2 x spatial2):
+    DP + TP + spatial halo-exchange compose and match single-device."""
+    model = AlexNet(num_classes=3, image_size=64)
+    opt = optim.sgd(1e-2)
+    x = jnp.asarray(np.random.default_rng(11).random((8, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.arange(8, dtype=jnp.int32) % 3
+
+    ts1 = create_train_state(model, opt, jax.random.key(12))
+    out1, m1 = make_train_step(model, opt, donate=False)(ts1, x, y)
+
+    mesh = make_mesh(2, 2, spatial_parallel=2)
+    assert dict(mesh.shape) == {"data": 2, "model": 2, "spatial": 2}
+    ts2 = shard_train_state(create_train_state(model, opt, jax.random.key(12)),
+                            mesh, model)
+    out2, m2 = make_train_step(model, opt, mesh=mesh, donate=False)(ts2, x, y)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out1.params),
+                    jax.tree_util.tree_leaves(out2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
