@@ -71,6 +71,9 @@ class TrainConfig:
     resume: str = ""                # path to a native .ckpt to resume from
     history_path: str = ""          # JSONL training-history log (default: <ckpt_dir>/history.jsonl)
     profile_dir: str = ""           # write a jax.profiler trace here (empty = off)
+    compile_cache: str = ""         # persistent XLA compilation cache dir:
+                                    # re-launching an identical program skips
+                                    # the multi-minute compile (empty = off)
     optimizer: str = "sgd"          # 'sgd' matches reference; 'momentum'/'adam' are supersets
     momentum: float = 0.0
     lr_schedule: str = "constant"   # constant | cosine | step (reference: constant)

@@ -6,15 +6,26 @@ either in pipelined streaming mode (``--stream``, overlapped dispatch) or
 through the dynamic micro-batching ``BatchingServer`` (default), printing
 one ``path<TAB>label<TAB>prob`` line per request.
 
+``--listen PORT`` runs a TCP server instead: each connection sends any
+number of length-prefixed encoded images (4-byte big-endian length + JPEG/
+PNG bytes) and receives a length-prefixed ``category\\tprob`` line per
+image. Concurrent connections share the engine through the micro-batching
+server, so throughput approaches the batched ceiling while each request
+pays one dispatch window.
+
 Usage:
     python -m cnn_tpu.tools.serve img1.jpg img2.jpg ...
     find dir/ -name '*.jpg' | python -m cnn_tpu.tools.serve --checkpoint ck
+    python -m cnn_tpu.tools.serve --listen 7070 &
 """
 
 from __future__ import annotations
 
 import argparse
+import socket
+import struct
 import sys
+import threading
 
 import cv2
 import numpy as np
@@ -22,6 +33,65 @@ import numpy as np
 from cnn_tpu.models import get_model
 from cnn_tpu.serving import BatchingServer, InferenceEngine
 from cnn_tpu.tools.infer import DEFAULT_CKPT, load_params
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _client_loop(conn: socket.socket, srv: BatchingServer, size: int,
+                 categories: list[str]) -> None:
+    with conn:
+        while True:
+            header = _recv_exact(conn, 4)
+            if header is None:
+                return
+            (length,) = struct.unpack(">I", header)
+            payload = _recv_exact(conn, length)
+            if payload is None:
+                return
+            img = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                reply = b"ERROR\tundecodable"
+            else:
+                label, probs = srv.submit(
+                    cv2.resize(img, (size, size))).result()
+                reply = f"{categories[label]}\t{probs[label]:.6f}".encode()
+            conn.sendall(struct.pack(">I", len(reply)) + reply)
+
+
+def serve_tcp(engine: InferenceEngine, port: int, size: int,
+              categories: list[str], max_batch: int,
+              batch_timeout_ms: float, ready_event=None,
+              stop_event=None) -> None:
+    """Accept loop: one thread per connection, all feeding the shared
+    micro-batching server (requests from concurrent clients batch into
+    single device calls)."""
+    with BatchingServer(engine, max_batch=max_batch,
+                        batch_timeout_ms=batch_timeout_ms) as srv, \
+            socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind(("127.0.0.1", port))
+        sock.listen()
+        sock.settimeout(0.2)
+        if ready_event is not None:
+            ready_event.set()
+        print(f"serving on 127.0.0.1:{sock.getsockname()[1]}", flush=True)
+        while stop_event is None or not stop_event.is_set():
+            try:
+                conn, _ = sock.accept()
+            except socket.timeout:
+                continue
+            threading.Thread(target=_client_loop,
+                             args=(conn, srv, size, categories),
+                             daemon=True).start()
 
 
 def _read(path: str, size: int):
@@ -49,6 +119,9 @@ def main(argv=None):
                     help="serve the post-training-quantized graph (BN "
                          "folded, s8 matmuls on the MXU); the request "
                          "images themselves calibrate activation scales")
+    ap.add_argument("--listen", type=int, default=0,
+                    help="run a TCP server on this port (length-prefixed "
+                         "encoded images in, category\\tprob out)")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
@@ -56,6 +129,12 @@ def main(argv=None):
                       image_size=args.image_size, batch_norm=args.batch_norm)
     params, state = load_params(args.checkpoint, model)
     buckets = (1,) if args.stream else (1, 8, args.max_batch)
+
+    if args.listen:
+        engine = InferenceEngine(model, params, state, buckets=buckets)
+        serve_tcp(engine, args.listen, args.image_size, categories,
+                  args.max_batch, args.batch_timeout_ms)
+        return 0
 
     paths = args.images
     if not paths or paths == ["-"]:

@@ -63,6 +63,15 @@ def evaluate_device(eval_step, params, state, device_ds,
 def main(argv=None):
     model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
 
+    if train_cfg.compile_cache:
+        # persistent compilation cache: the big remat'd-scan programs
+        # compile in minutes; identical re-launches (resume-after-preempt,
+        # hyperparameter sweeps varying only data) hit the cache instead
+        os.makedirs(train_cfg.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          train_cfg.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if train_cfg.multihost:
         # multi-host SPMD: every host runs this same program; the mesh spans
         # all hosts' devices and XLA routes collectives over ICI/DCN (CPU

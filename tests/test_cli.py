@@ -224,3 +224,18 @@ def test_train_cli_expert_parallel(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'expert': 4" in out
     assert "training done!" in out
+
+
+def test_train_cli_compile_cache(tmp_path, capsys):
+    """--compile-cache populates a persistent XLA compilation cache."""
+    from cnn_tpu.tools import train
+    cache = tmp_path / "xla_cache"
+    rc = train.main(["--total-iters", "2", "--valid-iters", "2",
+                     "--save-iters", "2", "--train-batch-size", "4",
+                     "--valid-batch-size", "32", "--image-size", "64",
+                     "--checkpoint-dir", str(tmp_path / "ck"),
+                     "--compile-cache", str(cache),
+                     "--augment", "false", "--cache", "true",
+                     "--num-workers", "2"])
+    assert rc == 0
+    assert any(cache.iterdir()), "compilation cache is empty"

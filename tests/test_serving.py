@@ -106,3 +106,65 @@ def test_batching_server_surfaces_errors():
     with BatchingServer(engine, batch_timeout_ms=1.0) as srv:
         ok = srv.submit(np.zeros((64, 64, 3), np.uint8)).result(timeout=60)
         assert ok[0] in (0, 1, 2)
+
+
+def test_tcp_serving_end_to_end():
+    """--listen: length-prefixed encoded images over a real socket, two
+    concurrent clients sharing the micro-batching server."""
+    import os
+    import socket
+    import struct
+    import threading
+
+    import cv2
+
+    if not os.path.isdir("/root/reference/datasets/images"):
+        import pytest
+        pytest.skip("reference images absent")
+
+    from cnn_tpu.models import get_model
+    from cnn_tpu.serving import InferenceEngine
+    from cnn_tpu.tools.infer import DEFAULT_CKPT, load_params
+    from cnn_tpu.tools.serve import serve_tcp
+
+    categories = ["dog", "panda", "bird"]
+    model = get_model("alexnet", num_classes=3)
+    params, state = load_params(DEFAULT_CKPT, model)
+    engine = InferenceEngine(model, params, state, buckets=(1, 4))
+
+    ready, stop = threading.Event(), threading.Event()
+    port = 47113
+    th = threading.Thread(target=serve_tcp,
+                          args=(engine, port, 224, categories, 4, 5.0,
+                                ready, stop), daemon=True)
+    th.start()
+    assert ready.wait(timeout=120)
+
+    def ask(path):
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as c:
+            payload = open(path, "rb").read()
+            c.sendall(struct.pack(">I", len(payload)) + payload)
+            (n,) = struct.unpack(">I", c.recv(4))
+            buf = b""
+            while len(buf) < n:
+                buf += c.recv(n - len(buf))
+            return buf.decode().split("\t")
+
+    results = {}
+
+    def client(name):
+        results[name] = ask(f"/root/reference/datasets/images/{name}.jpg")
+
+    threads = [threading.Thread(target=client, args=(n,))
+               for n in ("dog", "panda", "bird")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    stop.set()
+    th.join(timeout=10)
+
+    assert results["dog"][0] == "dog"
+    assert results["panda"][0] == "panda"
+    assert results["bird"][0] == "bird"
+    assert all(float(v[1]) > 0.5 for v in results.values())
