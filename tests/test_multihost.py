@@ -86,3 +86,30 @@ def test_two_process_train_cli(tmp_path):
     # exactly one writer: the process-0 checkpoint exists, no duplicates
     cks = [f for f in os.listdir(ckdir) if f.endswith(".ckpt")]
     assert len(cks) == 1, cks
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference/datasets/animals"),
+                    reason="dataset unavailable")
+def test_two_process_device_dataset_steps_per_call(tmp_path):
+    """Feature composition across hosts: HBM-resident dataset sharded over
+    the global 'data' axis (each process decodes only its rows), shard-local
+    sampling, and --steps-per-call chunked dispatch — the full fast path,
+    multihost."""
+    ckdir = str(tmp_path / "ck")
+    outs = _run_processes(lambda port, pid: [
+        "-m", "cnn_tpu.tools.train",
+        "--multihost", "true",
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid),
+        "--device-dataset", "true", "--canvas-size", "64",
+        "--image-size", "61", "--steps-per-call", "2",
+        "--total-iters", "4", "--valid-iters", "4", "--save-iters", "4",
+        "--train-batch-size", "8", "--valid-batch-size", "64",
+        "--num-workers", "2",
+        "--checkpoint-dir", ckdir])
+    for out in outs:
+        assert "multihost: process" in out
+        assert "training done!" in out
+    cks = [f for f in os.listdir(ckdir) if f.endswith(".ckpt")]
+    assert len(cks) == 1, cks
