@@ -232,6 +232,12 @@ class ResidualBlock(Layer):
             params["proj"] = p_proj
         return params, state
 
+    @staticmethod
+    def combine(y, shortcut):
+        """The residual merge — the single definition other views of this
+        block (e.g. the quantized trunk, cnn_tpu/quant.py) must share."""
+        return ops.relu(y + shortcut)
+
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
         body_state = (state or {}).get("body", {})
         y, new_body_state, _ = self.body.apply(
@@ -242,7 +248,7 @@ class ResidualBlock(Layer):
                                     compute_dtype=compute_dtype)
         else:
             sc = x
-        out = ops.relu(y + sc)
+        out = self.combine(y, sc)
         return out, ({"body": new_body_state} if self.has_state else state)
 
     def out_shape(self, in_shape):

@@ -81,6 +81,14 @@ def _fold_layer_list(layers, params, state):
             bs = (state.get(layer.name) or {}).get("body", {})
             body_layers, body_params = _fold_layer_list(
                 list(layer.block.body.layers), bp, bs)
+            # the quantized trunk paths apply body layers with params=None
+            # except convs — anything parameterized-but-not-conv would
+            # silently lose its params there
+            bad = [l.name for l in body_layers
+                   if l.has_params and not isinstance(l, Conv2D)]
+            if bad:
+                raise ValueError(f"unsupported parameterized body layers "
+                                 f"in quantized trunk: {bad}")
             folded_block = ResidualBlock(layer.block.name,
                                          body=Sequential(body_layers))
             new_layers.append(StackedBlocks(layer.name, block=folded_block,
@@ -131,7 +139,9 @@ def _scale_of(x) -> float:
 
 def _trunk_calibrate(trunk: StackedBlocks, tparams, h):
     """Unroll the (folded, BN-free) trunk over a calibration batch to get a
-    per-block input scale for every conv: ``{conv_name: [L]}``."""
+    per-block input scale for every conv: ``{conv_name: [L]}``. Scales stay
+    device scalars until the final stack — no per-block host fetch (each
+    blocking fetch costs a ~30 ms tunnel RPC on the real chip)."""
     body = trunk.block.body.layers
     scales = {l.name: [] for l in body if isinstance(l, Conv2D)}
     for i in range(trunk.n_blocks):
@@ -139,10 +149,11 @@ def _trunk_calibrate(trunk: StackedBlocks, tparams, h):
         x = h
         for l in body:
             if isinstance(l, Conv2D):
-                scales[l.name].append(_scale_of(x))
+                scales[l.name].append(jnp.max(jnp.abs(x)) / 127.0)
             x, _ = l.apply(p_i.get(l.name), None, x, train=False)
-        h = jax.nn.relu(x + h)          # ResidualBlock combine (no proj)
-    return {k: jnp.asarray(v, jnp.float32) for k, v in scales.items()}
+        h = ResidualBlock.combine(x, h)
+    return {k: jnp.maximum(jnp.stack(v).astype(jnp.float32), 1e-12)
+            for k, v in scales.items()}
 
 
 def calibrate_activation_scales(model, params, state, images_u8) -> dict:
@@ -250,7 +261,7 @@ def quantized_apply(folded: FoldedModel, qparams: dict, x: jnp.ndarray):
                         y = _q_conv(l, inp[l.name], y)
                     else:
                         y, _ = l.apply(None, None, y, train=False)
-                return jax.nn.relu(y + h), None
+                return ResidualBlock.combine(y, h), None
 
             x, _ = lax.scan(blk, x, qparams[layer.name])
         elif isinstance(layer, Linear):

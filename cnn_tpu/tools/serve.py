@@ -35,14 +35,22 @@ from cnn_tpu.serving import BatchingServer, InferenceEngine
 from cnn_tpu.tools.infer import DEFAULT_CKPT, load_params
 
 
+MAX_FRAME_BYTES = 64 << 20   # reject absurd length headers up front
+
+
 def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
-    buf = b""
-    while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
+    chunks, got = [], 0
+    while got < n:
+        chunk = conn.recv(n - got)
         if not chunk:
             return None
-        buf += chunk
-    return buf
+        chunks.append(chunk)
+        got += len(chunk)
+    return b"".join(chunks)
+
+
+def _reply(conn: socket.socket, payload: bytes) -> None:
+    conn.sendall(struct.pack(">I", len(payload)) + payload)
 
 
 def _client_loop(conn: socket.socket, srv: BatchingServer, size: int,
@@ -53,24 +61,33 @@ def _client_loop(conn: socket.socket, srv: BatchingServer, size: int,
             if header is None:
                 return
             (length,) = struct.unpack(">I", header)
+            if length > MAX_FRAME_BYTES:
+                # can't resynchronize without draining `length` bytes —
+                # report and drop the connection
+                _reply(conn, b"ERROR\tframe too large")
+                return
             payload = _recv_exact(conn, length)
             if payload is None:
                 return
             img = cv2.imdecode(np.frombuffer(payload, np.uint8),
                                cv2.IMREAD_COLOR)
             if img is None:
-                reply = b"ERROR\tundecodable"
-            else:
+                _reply(conn, b"ERROR\tundecodable")
+                continue
+            try:
                 label, probs = srv.submit(
                     cv2.resize(img, (size, size))).result()
                 reply = f"{categories[label]}\t{probs[label]:.6f}".encode()
-            conn.sendall(struct.pack(">I", len(reply)) + reply)
+            except Exception as e:  # engine failure / server stopping: the
+                # client still deserves a framed reply, not an EOF
+                reply = f"ERROR\t{type(e).__name__}".encode()
+            _reply(conn, reply)
 
 
 def serve_tcp(engine: InferenceEngine, port: int, size: int,
               categories: list[str], max_batch: int,
               batch_timeout_ms: float, ready_event=None,
-              stop_event=None) -> None:
+              stop_event=None, port_out: list | None = None) -> None:
     """Accept loop: one thread per connection, all feeding the shared
     micro-batching server (requests from concurrent clients batch into
     single device calls)."""
@@ -81,6 +98,8 @@ def serve_tcp(engine: InferenceEngine, port: int, size: int,
         sock.bind(("127.0.0.1", port))
         sock.listen()
         sock.settimeout(0.2)
+        if port_out is not None:  # report the bound port (port 0 = OS pick)
+            port_out.append(sock.getsockname()[1])
         if ready_event is not None:
             ready_event.set()
         print(f"serving on 127.0.0.1:{sock.getsockname()[1]}", flush=True)
@@ -131,7 +150,18 @@ def main(argv=None):
     buckets = (1,) if args.stream else (1, 8, args.max_batch)
 
     if args.listen:
-        engine = InferenceEngine(model, params, state, buckets=buckets)
+        int8_calib = None
+        if args.int8:
+            # server mode has no request images up front: calibrate from
+            # image paths given on the command line
+            calib_imgs = [_read(p, args.image_size) for p in args.images]
+            calib_imgs = [im for im in calib_imgs if im is not None]
+            if not calib_imgs:
+                ap.error("--listen with --int8 needs calibration image "
+                         "paths as positional arguments")
+            int8_calib = np.stack(calib_imgs[:64])
+        engine = InferenceEngine(model, params, state, buckets=buckets,
+                                 int8_calib=int8_calib)
         serve_tcp(engine, args.listen, args.image_size, categories,
                   args.max_batch, args.batch_timeout_ms)
         return 0

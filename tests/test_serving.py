@@ -133,22 +133,28 @@ def test_tcp_serving_end_to_end():
     engine = InferenceEngine(model, params, state, buckets=(1, 4))
 
     ready, stop = threading.Event(), threading.Event()
-    port = 47113
+    port_out = []
     th = threading.Thread(target=serve_tcp,
-                          args=(engine, port, 224, categories, 4, 5.0,
-                                ready, stop), daemon=True)
+                          args=(engine, 0, 224, categories, 4, 5.0,
+                                ready, stop, port_out), daemon=True)
     th.start()
     assert ready.wait(timeout=120)
+    port = port_out[0]  # OS-assigned: no clash with parallel runs
+
+    def recv_exact(c, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = c.recv(n - len(buf))
+            assert chunk, "server closed mid-reply"
+            buf += chunk
+        return buf
 
     def ask(path):
         with socket.create_connection(("127.0.0.1", port), timeout=60) as c:
             payload = open(path, "rb").read()
             c.sendall(struct.pack(">I", len(payload)) + payload)
-            (n,) = struct.unpack(">I", c.recv(4))
-            buf = b""
-            while len(buf) < n:
-                buf += c.recv(n - len(buf))
-            return buf.decode().split("\t")
+            (n,) = struct.unpack(">I", recv_exact(c, 4))
+            return recv_exact(c, n).decode().split("\t")
 
     results = {}
 
