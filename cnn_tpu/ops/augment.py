@@ -116,14 +116,22 @@ def _sample_one(img, matrix, out_size: int):
 
 
 def _resample_matrix(s: int, out_size: int, span, off, flip,
-                     gain=jnp.float32(1.0)):
+                     gain=jnp.float32(1.0), clamp: bool = False):
     """[out,S] 2-tap bilinear row weights: ``src = off + (j+.5)*span/out
-    - .5``, optionally mirrored; border rows renormalize (edge clamp, the
-    2-tap analog of cv::BORDER_REPLICATE). ``gain`` scales the whole matrix
-    (used to fold the uint8 /255 into the resample)."""
+    - .5``, optionally mirrored. ``gain`` scales the whole matrix (used to
+    fold the uint8 /255 into the resample).
+
+    ``clamp=True`` pins sample positions inside the crop window
+    ``[off, off+span-1]`` — the reference hard-crops to a new Mat and
+    resizes THAT (pipeline.cpp:159), so its border taps clamp at the crop
+    edge instead of bleeding into neighboring canvas pixels. Without clamp,
+    out-of-canvas taps zero-fill with border renormalization (the behavior
+    the rotation placement stage wants: black beyond the canvas)."""
     grid = jnp.arange(out_size, dtype=jnp.float32)
     taps = jnp.arange(s, dtype=jnp.float32)
     src = off + (grid + 0.5) * (span / out_size) - 0.5
+    if clamp:
+        src = jnp.clip(src, off, off + span - 1.0)
     src = jnp.where(flip, (s - 1.0) - src, src)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(taps[None, :] - src[:, None]))
     return gain * w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
@@ -173,9 +181,9 @@ def augment_batch_fast(rng: jax.Array, images: jnp.ndarray,
     span, oy, ox, hf, vf = jax.vmap(draw)(jax.random.split(rng, b))
     gain = jnp.float32(1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0)
     Wy = jax.vmap(lambda sp, o, f: _resample_matrix(
-        s, out_size, sp, o, f, gain))(span, oy, vf)
+        s, out_size, sp, o, f, gain, clamp=True))(span, oy, vf)
     Wx = jax.vmap(lambda sp, o, f: _resample_matrix(
-        s, out_size, sp, o, f))(span, ox, hf)
+        s, out_size, sp, o, f, clamp=True))(span, ox, hf)
     return _matmul_resample(images, Wy, Wx, dtype)
 
 
@@ -301,7 +309,9 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
     # out(q) = J(r*(s/out)*q + o)
     span = r * s
     Wy1 = jax.vmap(lambda sp, u: _resample_matrix(
-        s, out_size, sp, u * (s - sp), jnp.bool_(False)))(span, uy)
+        s, out_size, sp, u * (s - sp), jnp.bool_(False),
+        clamp=True))(span, uy)
     Wx1 = jax.vmap(lambda sp, u: _resample_matrix(
-        s, out_size, sp, u * (s - sp), jnp.bool_(False)))(span, ux)
+        s, out_size, sp, u * (s - sp), jnp.bool_(False),
+        clamp=True))(span, ux)
     return _matmul_resample(j, Wy1, Wx1, dtype)

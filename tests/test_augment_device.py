@@ -139,3 +139,30 @@ def test_full_policy_composition_matches_gather_version_no_flips():
     assert abs(a.std() - b.std()) < 2e-2
     # black-corner fraction (rotation signature) matches
     assert abs((a < 1e-3).mean() - (b < 1e-3).mean()) < 0.05
+
+
+def test_matmul_resample_matches_cv2_resize():
+    """The banded-matmul resample IS the reference's crop+cv::resize
+    (INTER_LINEAR, no antialiasing): for an integer crop window, applying
+    the Wy/Wx matrices equals cv2.resize of that window to within uint8
+    rounding."""
+    import cv2
+    from cnn_tpu.ops.augment import _matmul_resample, _resample_matrix
+
+    rng = np.random.default_rng(3)
+    s, out = 64, 48
+    img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
+
+    for oy, ox, cs in ((0, 0, 64), (5, 9, 48), (10, 2, 40)):
+        ref = cv2.resize(img[oy:oy + cs, ox:ox + cs], (out, out),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32)
+
+        Wy = _resample_matrix(s, out, jnp.float32(cs), jnp.float32(oy),
+                              jnp.bool_(False), clamp=True)[None]
+        Wx = _resample_matrix(s, out, jnp.float32(cs), jnp.float32(ox),
+                              jnp.bool_(False), clamp=True)[None]
+        got = np.asarray(_matmul_resample(
+            jnp.asarray(img[None], jnp.float32), Wy, Wx, jnp.float32))[0]
+
+        # cv2 rounds to uint8; the matmul keeps float precision
+        assert np.abs(got - ref).max() <= 1.0, (oy, ox, cs)
