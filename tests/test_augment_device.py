@@ -166,3 +166,4 @@ def test_matmul_resample_matches_cv2_resize():
 
         # cv2 rounds to uint8; the matmul keeps float precision
         assert np.abs(got - ref).max() <= 1.0, (oy, ox, cs)
+
