@@ -67,3 +67,24 @@ def test_pipecnn_checkpoint_classifies_oracle_images():
         logits, _, _ = model.apply(ts.params, ts.state, x, train=False)
         correct += int(np.asarray(logits).argmax() == int(fx[f"label_{stem}"]))
     assert correct >= 5, correct
+
+
+def test_moecnn_checkpoint_loads_and_runs():
+    """The committed MoE run (BASELINE.md) loads and classifies."""
+    from cnn_tpu.models import get_model
+    from cnn_tpu.utils.checkpoint import load_checkpoint
+
+    mdir = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                        "moecnn")
+    cks = sorted(glob.glob(os.path.join(mdir, "*.ckpt")))
+    if not cks:
+        pytest.skip("no moecnn checkpoint committed")
+    fx = np.load(PARITY_FIX)
+    model = get_model("moecnn", num_classes=3, batch_norm=True)
+    ts = load_checkpoint(cks[-1])
+    correct = 0
+    for stem in range(6):
+        x = jnp.asarray(fx[f"image_u8_{stem}"][None]).astype(jnp.float32) / 255.0
+        logits, _, _ = model.apply(ts.params, ts.state, x, train=False)
+        correct += int(np.asarray(logits).argmax() == int(fx[f"label_{stem}"]))
+    assert correct >= 4, correct   # 0.85-accuracy model: most oracle images
