@@ -239,3 +239,27 @@ def test_train_cli_compile_cache(tmp_path, capsys):
                      "--num-workers", "2"])
     assert rc == 0
     assert any(cache.iterdir()), "compilation cache is empty"
+
+
+def test_moecnn_family_through_clis(tmp_path, capsys):
+    """Infer + Grad-CAM on the committed MoE checkpoint: the sixth family
+    is fully usable from the same tools."""
+    import glob
+
+    from cnn_tpu.tools import gradcam, infer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = sorted(glob.glob(os.path.join(repo, "checkpoints/moecnn/*.ckpt")))
+    if not ck:
+        pytest.skip("no moecnn checkpoint committed")
+    img = f"{IMAGES}/panda.jpg"
+    assert infer.main([img, "--model", "moecnn", "--batch-norm",
+                       "--checkpoint", ck[-1]]) == 0
+    out = capsys.readouterr().out
+    assert "panda" in out
+
+    rc = gradcam.main([img, "--model", "moecnn", "--batch-norm",
+                       "--checkpoint", ck[-1], "--layer", "stem_relu4",
+                       "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path, "0.png"))
