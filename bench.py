@@ -73,14 +73,14 @@ def best_committed_accuracy() -> float | None:
 
 
 def measure_train(compute_dtype, batch_size: int, iters: int = 40,
-                  repeats: int = 3) -> float:
+                  repeats: int = 3, space_to_depth: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
     from cnn_tpu.models import AlexNet
     from cnn_tpu.parallel import create_train_state, make_train_step
 
-    model = AlexNet(num_classes=3)
+    model = AlexNet(num_classes=3, space_to_depth=space_to_depth)
     opt = optim.sgd(1e-3)
     ts = create_train_state(model, opt, jax.random.key(0))
     step = make_train_step(model, opt, compute_dtype=compute_dtype)
@@ -282,6 +282,13 @@ def main():
     backend = jax.default_backend()
     bf16 = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
                          batch_size=1024)
+    # the space-to-depth conv1 experiment (VERDICT r2 item 1): measured
+    # SLOWER (0.73-0.81x across bs 256/1024/4096 and conv1-only) — the
+    # relayout's extra HBM pass over the largest activation outweighs the
+    # 4x MXU lane gain on this bandwidth-bound model (BASELINE.md)
+    s2d = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
+                        batch_size=1024, iters=20, repeats=2,
+                        space_to_depth=True)
     f32 = measure_train(None, batch_size=256, iters=30)
     e2e = measure_train_e2e()
     e2e_full = measure_train_e2e(augment="full")
@@ -316,6 +323,8 @@ def main():
         "best_valid_accuracy": best_acc,  # parsed from committed checkpoints
         "train_flops_per_image": round(flops_img),
         "mfu_pct": round(100 * mfu, 2),
+        "mfu_s2d_pct": round(100 * s2d * flops_img / peak, 2),
+        "train_images_per_sec_s2d": round(s2d, 1),
         "deep_train_images_per_sec": round(deep_ips, 1),  # pipecnn w128 L8
         "deep_mfu_pct": round(100 * deep_mfu, 2),
         "peak_bf16_tflops": round(peak / 1e12),

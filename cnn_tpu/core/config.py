@@ -24,6 +24,9 @@ class ModelConfig:
     dropout: float = 0.0       # reference's Dropout is commented out (alexnet.cpp:28)
     image_size: int = 224
     channels: int = 3
+    # execute lane-starved stride-2 convs as space-to-depth + stride-1
+    # (exact repack; AlexNet family) — see ops/conv.py:conv2d_s2d
+    space_to_depth: bool = False
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for MXU-friendly training

@@ -33,14 +33,19 @@ FINAL_CHANNELS = 128
 def build_alexnet(num_classes: int = 3, batch_norm: bool = False,
                   dropout: float = 0.0, image_size: int = 224,
                   compat_bn: bool = False,
-                  dropout_compat: str = "inverted") -> Sequential:
+                  dropout_compat: str = "inverted",
+                  space_to_depth: bool = False) -> Sequential:
     layers = []
     convs = [(3, 16), (16, 32), (32, 64), (64, 128)]
     spatial = image_size
     channels = 3
     for i, (cin, cout) in enumerate(convs, start=1):
+        # s2d execution lifts cin -> 4*cin MXU input lanes; past 32 real
+        # channels (128 lanes) the systolic array is already full, so only
+        # the lane-starved convs repack
         layers.append(Conv2D(f"conv_layer_{i}", in_channels=cin, out_channels=cout,
-                             kernel_size=3, stride=2))
+                             kernel_size=3, stride=2,
+                             s2d=space_to_depth and cin < 32))
         spatial = (spatial - 3) // 2 + 1
         assert spatial >= 1, (
             f"image_size={image_size} collapses to zero spatial extent at "
@@ -71,12 +76,13 @@ class AlexNet:
 
     def __init__(self, num_classes: int = 3, batch_norm: bool = False,
                  dropout: float = 0.0, image_size: int = 224,
-                 compat_bn: bool = False, dropout_compat: str = "inverted"):
+                 compat_bn: bool = False, dropout_compat: str = "inverted",
+                 space_to_depth: bool = False):
         self.num_classes = num_classes
         self.batch_norm = batch_norm
         self.image_size = image_size
         self.net = build_alexnet(num_classes, batch_norm, dropout, image_size,
-                                 compat_bn, dropout_compat)
+                                 compat_bn, dropout_compat, space_to_depth)
 
     def init(self, key: jax.Array, dtype=jnp.float32):
         return self.net.init(key, dtype)

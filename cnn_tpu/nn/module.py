@@ -64,9 +64,15 @@ class Conv2D(Layer):
     stride: int = 2
     padding: int = 0
     init_scale: float = 0.1   # N(0,1) * scale, the reference's init
+    # run as space-to-depth + stride-1 conv (exact repack, stride 2 only):
+    # 4x the MXU input lanes for small-cin convs; params keep the
+    # reference [k,k,cin,cout] layout so checkpoints are unaffected
+    s2d: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
+        assert not (self.s2d and self.stride != 2), \
+            "s2d execution is the stride-2 specialization"
 
     def init(self, key, dtype=jnp.float32):
         return ops.conv2d_init(key, self.in_channels, self.out_channels,
@@ -74,6 +80,9 @@ class Conv2D(Layer):
                                init_scale=self.init_scale), None
 
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        if self.s2d:
+            return ops.conv2d_s2d(params, x, self.stride, compute_dtype,
+                                  padding=self.padding), state
         return ops.conv2d(params, x, self.stride, compute_dtype,
                           padding=self.padding), state
 

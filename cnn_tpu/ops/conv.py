@@ -49,6 +49,79 @@ def conv2d_init(key: jax.Array, in_channels: int, out_channels: int,
     return {"w": w, "b": b}
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, ceil(H/b), ceil(W/b), b*b*C].
+
+    Output channel layout is ``(py, px, c)``-major: channel index
+    ``(py*b + px)*C + c`` holds input pixel ``(b*i + py, b*j + px, c)``.
+    Odd extents are zero-padded on the bottom/right; the repacked weights
+    (``s2d_repack_weights``) place zeros on every tap that would read the
+    padding, so the transform stays exact.
+    """
+    b = block
+    B, H, W, C = x.shape
+    ph, pw = (-H) % b, (-W) % b
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    H2, W2 = (H + ph) // b, (W + pw) // b
+    x = x.reshape(B, H2, b, W2, b, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H2, W2, b * b * C)
+
+
+def s2d_repack_weights(w: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Exact weight repack for running a stride-``b`` conv as stride-1 on
+    space-to-depth input: ``[k, k, cin, cout] -> [K, K, b*b*cin, cout]``
+    with ``K = ceil(k/b)``.
+
+    Tap ``(dy, dx)`` of the original kernel lands at spatial position
+    ``(dy//b, dx//b)`` and input channel ``((dy%b)*b + dx%b)*cin + c`` —
+    the layout ``space_to_depth`` produces. Positions with ``dy`` or ``dx``
+    beyond ``k-1`` (the pad ring) stay zero, which also masks any
+    bottom/right zero-padding of odd input extents. The map is linear, so
+    gradients flow back to the original ``[k,k,cin,cout]`` parameters and
+    checkpoints keep the reference layout (conv2d.cpp:220-226).
+    """
+    b = block
+    k, _, cin, cout = w.shape
+    K = -(-k // b)
+    pad = K * b - k
+    w = jnp.pad(w, ((0, pad), (0, pad), (0, 0), (0, 0)))
+    w = w.reshape(K, b, K, b, cin, cout)          # (Ky, py, Kx, px, ci, co)
+    w = w.transpose(0, 2, 1, 3, 4, 5)             # (Ky, Kx, py, px, ci, co)
+    return w.reshape(K, K, b * b * cin, cout)
+
+
+def conv2d_s2d(params: dict, x: jnp.ndarray, stride: int = 2,
+               compute_dtype=None, precision=None,
+               padding: int = 0) -> jnp.ndarray:
+    """Stride-2 conv executed as space-to-depth + stride-1 conv.
+
+    Bit-for-bit the same multiply-adds as ``conv2d`` (summed in a
+    different association order), but the MXU sees ``4*cin`` input lanes
+    instead of ``cin`` — the canonical TPU answer to small-``cin``
+    stride-2 convs like the reference's conv1 (3 channels at 224 px,
+    conv2d.cpp:69-92), where a direct conv uses 3 of the systolic array's
+    128 input lanes.
+    """
+    assert stride == 2, "s2d path is the stride-2 specialization"
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    if precision is None and x.dtype == jnp.float32:
+        precision = lax.Precision.HIGHEST
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    out = lax.conv_general_dilated(
+        space_to_depth(x, 2), s2d_repack_weights(w, 2),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS,
+        precision=precision,
+    )
+    return out + b.astype(out.dtype)
+
+
 def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
            compute_dtype=None, precision=None, padding: int = 0) -> jnp.ndarray:
     """NHWC conv: [B, H, W, Cin] -> [B, H', W', Cout].

@@ -18,7 +18,9 @@ inference.cpp:53-72):
    (XLA fuses those into the conv); ReLU/pool stay in f32 on the VPU where
    they are free.
 
-Scope: top-level ``Sequential`` models (AlexNet/VGG). The quality bar is
+Scope: every committed model family — flat Sequential (AlexNet/VGG),
+residual blocks with projection shortcuts (ResNet), and scanned trunks
+(pipecnn); MoE heads keep their f32 expert bank. The quality bar is
 task-level: on the reference's own headline checkpoint the int8 path must
 keep classification agreement on the oracle images (tested) — per-logit
 deviation is bounded by calibration, not by epsilon.
@@ -73,6 +75,21 @@ def _fold_layer_list(layers, params, state):
                 nxt.eps)
             new_layers.append(layer)
             i += 2
+            continue
+        if isinstance(layer, ResidualBlock):
+            # fold Conv->BN pairs inside the body; the projection shortcut
+            # is a bare conv (resnet.py:_block — no BN follows it) and
+            # passes through unchanged
+            bp, bs = params[layer.name], (state or {}).get(layer.name) or {}
+            body_layers, body_params = _fold_layer_list(
+                list(layer.body.layers), bp["body"], bs.get("body") or {})
+            folded = ResidualBlock(layer.name, body=Sequential(body_layers),
+                                   proj=layer.proj)
+            new_params[layer.name] = {"body": body_params}
+            if layer.proj is not None:
+                new_params[layer.name]["proj"] = bp["proj"]
+            new_layers.append(folded)
+            i += 1
             continue
         if isinstance(layer, StackedBlocks):
             if layer.block.proj is not None:
@@ -156,6 +173,21 @@ def _trunk_calibrate(trunk: StackedBlocks, tparams, h):
             for k, v in scales.items()}
 
 
+def _block_calibrate(block: ResidualBlock, bparams, x):
+    """Per-conv input scales inside a (folded, BN-free) residual block:
+    walk the body on the calibration activations; the projection shortcut
+    sees the block input."""
+    scales, h = {}, x
+    for l in block.body.layers:
+        if isinstance(l, Conv2D):
+            scales[l.name] = _scale_of(h)
+        h, _ = l.apply(bparams["body"][l.name] if l.has_params else None,
+                       None, h, train=False)
+    if block.proj is not None:
+        scales[block.proj.name] = _scale_of(x)
+    return scales
+
+
 def calibrate_activation_scales(model, params, state, images_u8) -> dict:
     """Per-layer input absmax/127 over a calibration batch.
 
@@ -173,6 +205,9 @@ def calibrate_activation_scales(model, params, state, images_u8) -> dict:
             scales[layer.name] = _scale_of(prev)
         elif isinstance(layer, StackedBlocks):
             scales[layer.name] = _trunk_calibrate(layer, params[layer.name],
+                                                  prev)
+        elif isinstance(layer, ResidualBlock):
+            scales[layer.name] = _block_calibrate(layer, params[layer.name],
                                                   prev)
         prev = acts[layer.name]
     return scales
@@ -209,6 +244,24 @@ def quantize_int8(model, params, state, calib_images_u8):
                                    "b": fparams[layer.name]["b"],
                                    "in_scale": jnp.float32(
                                        act_scales[layer.name])}
+        elif isinstance(layer, ResidualBlock):
+            bp = fparams[layer.name]
+            blk_scales = act_scales[layer.name]
+            blk_q = {"body": {}}
+            for l in layer.body.layers:
+                if isinstance(l, Conv2D):
+                    q, s = _quantize_weight(bp["body"][l.name]["w"], axis=3)
+                    blk_q["body"][l.name] = {
+                        "w_q": q, "w_scale": s, "b": bp["body"][l.name]["b"],
+                        "in_scale": jnp.float32(blk_scales[l.name])}
+                elif l.has_params:
+                    blk_q["body"][l.name] = bp["body"][l.name]
+            if layer.proj is not None:
+                q, s = _quantize_weight(bp["proj"]["w"], axis=3)
+                blk_q["proj"] = {
+                    "w_q": q, "w_scale": s, "b": bp["proj"]["b"],
+                    "in_scale": jnp.float32(blk_scales[layer.proj.name])}
+            qparams[layer.name] = blk_q
         elif isinstance(layer, StackedBlocks):
             body_p = fparams[layer.name]["body"]
             trunk_q = {}
@@ -251,6 +304,18 @@ def quantized_apply(folded: FoldedModel, qparams: dict, x: jnp.ndarray):
     for layer in folded.net.layers:
         if isinstance(layer, Conv2D):
             x = _q_conv(layer, qparams[layer.name], x)
+        elif isinstance(layer, ResidualBlock):
+            p = qparams[layer.name]
+            h = x
+            for l in layer.body.layers:
+                if isinstance(l, Conv2D):
+                    h = _q_conv(l, p["body"][l.name], h)
+                else:
+                    h, _ = l.apply(p["body"].get(l.name), None, h,
+                                   train=False)
+            sc = (_q_conv(layer.proj, p["proj"], x)
+                  if layer.proj is not None else x)
+            x = ResidualBlock.combine(h, sc)
         elif isinstance(layer, StackedBlocks):
             body = layer.block.body.layers
 

@@ -117,7 +117,9 @@ def main(argv=None):
     model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                       batch_norm=model_cfg.batch_norm,
                       dropout=model_cfg.dropout,
-                      image_size=model_cfg.image_size)
+                      image_size=model_cfg.image_size,
+                      **({"space_to_depth": True}
+                         if model_cfg.space_to_depth else {}))
     opt = optim.make_optimizer(train_cfg.optimizer, train_cfg.learning_rate,
                                train_cfg.momentum,
                                schedule=train_cfg.lr_schedule,
