@@ -75,11 +75,14 @@ def _client_loop(conn: socket.socket, srv: BatchingServer, size: int,
                 _reply(conn, b"ERROR\tundecodable")
                 continue
             try:
+                # generous bound: a wedged engine must not leave the client
+                # hung forever with no framed reply (first post-compile
+                # execute can legitimately take tens of seconds here)
                 label, probs = srv.submit(
-                    cv2.resize(img, (size, size))).result()
+                    cv2.resize(img, (size, size))).result(timeout=120.0)
                 reply = f"{categories[label]}\t{probs[label]:.6f}".encode()
-            except Exception as e:  # engine failure / server stopping: the
-                # client still deserves a framed reply, not an EOF
+            except Exception as e:  # engine failure / timeout / stopping:
+                # the client still deserves a framed reply, not an EOF
                 reply = f"ERROR\t{type(e).__name__}".encode()
             _reply(conn, reply)
 
@@ -176,7 +179,12 @@ def main(argv=None):
     loaded = [(p, img) for p, img in loaded if img is not None]
 
     int8_calib = None
-    if args.int8 and loaded:
+    if args.int8:
+        if not loaded:
+            # match the --listen branch: never silently serve f32 when the
+            # user asked for int8 but no calibration images loaded
+            ap.error("--int8 needs at least one readable image to "
+                     "calibrate activation scales")
         int8_calib = np.stack([img for _, img in loaded[:64]])
     engine = InferenceEngine(model, params, state, buckets=buckets,
                              int8_calib=int8_calib)
