@@ -23,3 +23,5 @@ g++ $CXXFLAGS /root/repo/tools/reference_oracle/layer_dump.cpp $LIB_SRC -o "$OUT
 echo "built: $OUT/layer_dump"
 g++ $CXXFLAGS /root/repo/tools/reference_oracle/grad_dump.cpp $LIB_SRC -o "$OUT/grad_dump" $LDFLAGS
 echo "built: $OUT/grad_dump"
+g++ $CXXFLAGS /root/repo/tools/reference_oracle/run_model.cpp $LIB_SRC -o "$OUT/run_model" $LDFLAGS
+echo "built: $OUT/run_model"
