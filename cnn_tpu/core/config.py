@@ -57,6 +57,11 @@ class DataConfig:
     device_dataset: bool = False  # pin the whole dataset in HBM; sample batches
                                   # on-device (zero steady-state host traffic)
     augment_mode: str = "fast"  # 'fast' (flips+crop, gather-free) | 'full' (+rotate)
+    sample_mode: str = "local"  # device-dataset batch sampling: 'local'/'global'
+                                # uniform-with-replacement; 'epoch' = every
+                                # sample exactly once per epoch (the reference's
+                                # protocol, pipeline.cpp:145-151); 'epoch_fixed'
+                                # adds its same-permutation-every-epoch quirk
 
 
 @dataclass(frozen=True)

@@ -130,6 +130,67 @@ class DeviceDataset:
             yield self.images[self.n - rem:], self.labels[self.n - rem:]
 
 
+def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool):
+    """Without-replacement epoch iteration under jit: positions
+    ``step*bs + i`` walk a per-epoch permutation of ``[0, n)``; a batch
+    straddling an epoch boundary takes its tail from the next epoch's
+    permutation — every sample is seen exactly once per epoch, the
+    reference's training protocol (pipeline.cpp:145-151).
+
+    ``fixed=True`` reproduces the reference's quirk exactly: it reshuffles
+    with a freshly re-seeded engine each epoch (pipeline.cpp:149), i.e.
+    the SAME permutation every epoch.
+    """
+    g = step * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
+    e, pos = g // n, g % n
+
+    def perm(eid):
+        k = jax.random.fold_in(base_key, jnp.where(fixed, 0, eid))
+        return jax.random.permutation(k, n)
+
+    p0, p1 = perm(e[0]), perm(e[0] + 1)
+    return jnp.where(e == e[0], p0[pos], p1[pos])
+
+
+def _make_epoch_sampler(dataset: DeviceDataset, batch_size: int,
+                        mesh: Optional[Mesh], fixed: bool):
+    """(base_key, step, images_ref, labels_ref) -> (images, labels):
+    epoch-permutation sampling (see ``_epoch_indices``). With a mesh, each
+    data shard walks its own per-epoch permutation of its LOCAL rows —
+    still collective-free, still exactly-once per (global) epoch since the
+    shards partition the dataset."""
+    n = dataset.n
+    if mesh is None:
+        # a batch straddles at most one epoch boundary (two permutations)
+        assert batch_size <= n, (batch_size, n)
+
+        def sample(base_key, step, images_ref, labels_ref):
+            idx = _epoch_indices(base_key, step, batch_size, n, fixed)
+            return (jnp.take(images_ref, idx, axis=0),
+                    jnp.take(labels_ref, idx, axis=0))
+        return sample
+
+    data_dim = mesh.shape["data"]
+    assert batch_size % data_dim == 0, (batch_size, data_dim)
+    n_local = n // data_dim
+    per_shard = batch_size // data_dim
+    assert per_shard <= n_local, (
+        f"per-shard batch {per_shard} exceeds the local shard ({n_local} "
+        "rows) — a batch may straddle at most one epoch boundary")
+
+    def local_sample(base_key, step, images_ref, labels_ref):
+        k = jax.random.fold_in(base_key, jax.lax.axis_index("data"))
+        idx = _epoch_indices(k, step, per_shard, n_local, fixed)
+        return (jnp.take(images_ref, idx, axis=0),
+                jnp.take(labels_ref, idx, axis=0))
+
+    return jax.shard_map(
+        local_sample, mesh=mesh,
+        in_specs=(P(), P(), P("data", None, None, None), P("data")),
+        out_specs=(P("data", None, None, None), P("data")),
+    )
+
+
 def _make_sampler(dataset: DeviceDataset, batch_size: int,
                   mesh: Optional[Mesh], sample_mode: str):
     """(key, images_ref, labels_ref) -> (images, labels) sub-program.
@@ -140,6 +201,10 @@ def _make_sampler(dataset: DeviceDataset, batch_size: int,
     - mesh + 'global': identical index sequence to the unsharded path
       (same key -> same batch), output constrained to P('data'); used by
       the single-device-equivalence tests, costs a cross-shard gather.
+
+    The without-replacement modes 'epoch' / 'epoch_fixed' have a different
+    signature (they need the step counter) and live in
+    ``_make_epoch_sampler``.
     """
     n = dataset.n
     if mesh is None:
@@ -201,13 +266,24 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     dispatches once per chunk instead of once per step — measured +7%
     end-to-end on the tunneled single-chip setup (45.4k -> 48.7k img/s at
     bs=256). Metrics are the chunk mean loss / summed correct.
+
+    ``sample_mode``: 'local'/'global' draw uniform-with-replacement;
+    'epoch' walks a fresh per-epoch permutation (every sample exactly once
+    per epoch — the reference's protocol, pipeline.cpp:145-151);
+    'epoch_fixed' additionally reproduces its same-permutation-every-epoch
+    quirk (pipeline.cpp:149).
     """
     from cnn_tpu.parallel.train_step import TrainState, _loss_fn
     from cnn_tpu.ops.preprocess import uint8_to_float
 
     if mesh is not None:
         assert dataset.mesh is mesh, "dataset must be uploaded onto the same mesh"
-    sampler = _make_sampler(dataset, batch_size, mesh, sample_mode)
+    epoch_mode = sample_mode in ("epoch", "epoch_fixed")
+    if epoch_mode:
+        sampler = _make_epoch_sampler(dataset, batch_size, mesh,
+                                      fixed=sample_mode == "epoch_fixed")
+    else:
+        sampler = _make_sampler(dataset, batch_size, mesh, sample_mode)
 
     # NOTE: the resident arrays are jit ARGUMENTS, not closure captures — a
     # captured array would be constant-folded into the HLO and shipped to
@@ -216,7 +292,12 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     def step(ts: TrainState, images_ref, labels_ref):
         rng = jax.random.fold_in(ts.rng, ts.step)
         k_sample, k_aug, k_model = jax.random.split(rng, 3)
-        images, labels = sampler(k_sample, images_ref, labels_ref)
+        if epoch_mode:
+            # the permutation key must be constant within an epoch, so it
+            # derives from the session key + step, not the per-step fold
+            images, labels = sampler(ts.rng, ts.step, images_ref, labels_ref)
+        else:
+            images, labels = sampler(k_sample, images_ref, labels_ref)
         if augment_fn is not None:
             images = augment_fn(k_aug, images)
             if compute_dtype is not None:

@@ -24,7 +24,8 @@ from cnn_tpu.nn import (BatchNorm2D, Conv2D, GlobalAvgPool, Linear, ReLU,
 from cnn_tpu.nn.module import ResidualBlock, StackedBlocks
 
 
-def _trunk_block(width: int, batch_norm: bool) -> ResidualBlock:
+def _trunk_block(width: int, batch_norm: bool,
+                 dropout: float = 0.0) -> ResidualBlock:
     # Without BN, a residual trunk at the reference's N(0,1)/10 init has a
     # per-block gain of sqrt(1 + body_var) > 1 that compounds exponentially
     # in depth (overflows bf16 within the first steps at width 64 — seen in
@@ -36,10 +37,17 @@ def _trunk_block(width: int, batch_norm: bool) -> ResidualBlock:
                      kernel_size=3, stride=1, padding=1)]
     if batch_norm:
         layers.append(BatchNorm2D("b_bn1", num_channels=width))
-    layers += [ReLU("b_relu"),
-               Conv2D("b_conv2", in_channels=width, out_channels=width,
-                      kernel_size=3, stride=1, padding=1,
-                      init_scale=last_scale)]
+    layers.append(ReLU("b_relu"))
+    if dropout > 0.0:
+        # channel dropout inside the pipelined trunk: per-block keys come
+        # from the StackedBlocks split (or the pipeline's per-stage slice
+        # of it — parallel/pipeline.py), so scan and GPipe schedules draw
+        # identical masks
+        from cnn_tpu.nn import Dropout
+        layers.append(Dropout("b_dropout", p=dropout))
+    layers.append(Conv2D("b_conv2", in_channels=width, out_channels=width,
+                         kernel_size=3, stride=1, padding=1,
+                         init_scale=last_scale))
     if batch_norm:
         layers.append(BatchNorm2D("b_bn2", num_channels=width))
     return ResidualBlock("block", body=Sequential(layers))
@@ -48,7 +56,8 @@ def _trunk_block(width: int, batch_norm: bool) -> ResidualBlock:
 class PipeCNN:
     def __init__(self, num_classes: int = 3, width: int = 64,
                  n_blocks: int = 8, image_size: int = 224,
-                 batch_norm: bool = True, remat: bool = True):
+                 batch_norm: bool = True, remat: bool = True,
+                 dropout: float = 0.0):
         self.num_classes = num_classes
         self.image_size = image_size
         self.width = width
@@ -68,7 +77,7 @@ class PipeCNN:
             stem.append(BatchNorm2D("stem_bn2", num_channels=width))
         stem.append(ReLU("stem_relu2"))
         trunk = StackedBlocks("trunk",
-                              block=_trunk_block(width, batch_norm),
+                              block=_trunk_block(width, batch_norm, dropout),
                               n_blocks=n_blocks, remat=remat)
         head = [GlobalAvgPool("gap"),
                 Linear("linear_1", in_features=width,
@@ -90,5 +99,4 @@ class PipeCNN:
 
 @register_model("pipecnn")
 def _pipecnn(**kwargs) -> PipeCNN:
-    kwargs.pop("dropout", None)
     return PipeCNN(**kwargs)

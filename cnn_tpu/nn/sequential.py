@@ -46,16 +46,22 @@ class Sequential:
 
     def apply(self, params: dict, state: dict, x: jnp.ndarray, *,
               train: bool = False, rng: Optional[jax.Array] = None,
-              compute_dtype=None,
+              compute_dtype=None, rng_offset: int = 0,
               capture: Iterable[str] = ()) -> tuple[jnp.ndarray, dict, dict]:
-        """Pure forward. Returns (output, new_state, captured_activations)."""
+        """Pure forward. Returns (output, new_state, captured_activations).
+
+        ``rng_offset`` shifts the per-layer rng fold index: a sub-Sequential
+        that is a slice of a larger net (pipeline stem/head) passes its
+        start index so rng-consuming layers draw the SAME keys they would
+        draw in the full net.
+        """
         capture = set(capture)
         new_state = dict(state)
         captured: dict[str, jnp.ndarray] = {}
         for i, layer in enumerate(self.layers):
             layer_rng = None
             if layer.needs_rng and rng is not None:
-                layer_rng = jax.random.fold_in(rng, i)
+                layer_rng = jax.random.fold_in(rng, i + rng_offset)
             x, s = layer.apply(
                 params.get(layer.name), state.get(layer.name), x,
                 train=train, rng=layer_rng, compute_dtype=compute_dtype)

@@ -134,7 +134,14 @@ def _resample_matrix(s: int, out_size: int, span, off, flip,
         src = jnp.clip(src, off, off + span - 1.0)
     src = jnp.where(flip, (s - 1.0) - src, src)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(taps[None, :] - src[:, None]))
-    return gain * w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+    if clamp:
+        # in-range rows already sum to 1; renormalization only washes out
+        # float dust at the pinned crop edges
+        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+    # clamp=False: partial border taps stay partial, so out-of-canvas mass
+    # zero-fills (true black beyond the canvas — what the rotation
+    # placement stage needs; renormalizing here would edge-replicate)
+    return gain * w
 
 
 def _matmul_resample(x: jnp.ndarray, Wy: jnp.ndarray, Wx: jnp.ndarray,

@@ -39,6 +39,7 @@ def argmax_flat(x: jnp.ndarray) -> jnp.ndarray:
 
 def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
     """(x - min) / (max - min) — the grad-CAM normalization
-    (alexnet.cpp:136-139)."""
+    (alexnet.cpp:136-139). An all-constant input (zero range) maps to
+    zeros, not NaN. The single definition — tools/gradcam.py uses this."""
     lo, hi = jnp.min(x), jnp.max(x)
-    return (x - lo) / (hi - lo)
+    return (x - lo) / jnp.maximum(hi - lo, 1e-12)

@@ -34,6 +34,20 @@ unpipelined model (tested in tests/test_pipeline.py).
 Composes with data parallelism: pass a mesh with ('data', 'stage') axes and
 the batch shards over 'data' while the trunk depth shards over 'stage';
 gradients are pmean'd over 'data' and psum'd over 'stage' explicitly.
+(With DP the shard_map computes per-data-shard BN batch statistics — the
+GSPMD path computes global-batch stats; moving stats are pmean-synced.)
+
+Composes with tensor parallelism too (3-axis ('data', 'stage', 'model')
+mesh): each trunk block's conv pair runs Megatron-style — the first conv
+column-parallel (out-channels over 'model'), the second row-parallel
+(in-channels over 'model', partial sums reduced by an explicit psum whose
+backward is the identity, ``_psum_id_bwd``); BN/ReLU/Dropout between the
+pair run on the sharded channels, everything after the psum replicated.
+
+Rng-consuming blocks (Dropout) pipeline too: per-block keys are the same
+``split(fold_in(rng, trunk_index), L)`` the sequential scan draws, sliced
+per stage — M=1 is bitwise-equal and M>1 shares each block's per-batch
+channel mask across microbatches, exactly the sequential semantics.
 """
 
 from __future__ import annotations
@@ -46,11 +60,128 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cnn_tpu.nn.module import StackedBlocks
+from cnn_tpu.nn.module import BatchNorm2D, Conv2D, StackedBlocks
 from cnn_tpu.nn.sequential import Sequential
 from cnn_tpu.ops.losses import softmax_cross_entropy
 from cnn_tpu.optim import Optimizer
 from cnn_tpu.parallel.train_step import TrainState, _prep
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism inside the pipelined trunk (DP x PP x TP, 3-axis mesh)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_id_bwd(x, axis):
+    """psum whose backward is the identity.
+
+    Forward: ``y = psum_s(h_s)`` over the 'model' axis (each shard holds a
+    partial sum over its input-channel slice). Backward: ``dL/dh_s = dL/dy``
+    because every partial contributes to y with coefficient 1 and the
+    cotangent arriving here is already replicated over the axis. Making the
+    rule explicit (instead of relying on shard_map's psum transpose under
+    check_vma=False) keeps the TP gradient provably correct.
+    """
+    return lax.psum(x, axis)
+
+
+def _psum_id_fwd(x, axis):
+    return lax.psum(x, axis), None
+
+
+def _psum_id_rev(axis, _, ct):
+    return (ct,)
+
+
+_psum_id_bwd.defvjp(_psum_id_fwd, _psum_id_rev)
+
+
+def tp_split_block(block) -> tuple[Conv2D, Conv2D]:
+    """Validate a trunk block for Megatron-style tensor parallelism and
+    return its (column, row) conv pair.
+
+    Contract: a projection-free ResidualBlock whose body holds exactly two
+    convs — the first is column-parallel (out-channels shard over 'model'),
+    the second row-parallel (in-channels shard; partial sums psum'd).
+    Layers between them (BN/ReLU/Dropout) run on the sharded channels;
+    layers after the row conv run replicated. This covers the pipecnn
+    trunk shape; other shapes raise rather than silently mis-shard.
+    """
+    if block.proj is not None:
+        raise ValueError("TP trunk blocks must be projection-free")
+    convs = [l for l in block.body.layers if isinstance(l, Conv2D)]
+    if len(convs) != 2:
+        raise ValueError(
+            f"TP needs exactly two convs per block (column+row pair), "
+            f"found {[c.name for c in convs]}")
+    return convs[0], convs[1]
+
+
+def _tp_body_apply(block, params, state, x, *, train, rng, compute_dtype,
+                   tp_axis: str):
+    """Apply a ResidualBlock body under tensor parallelism (call inside
+    shard_map; params/state leaves already hold this shard's channel
+    slices). Returns (block output, new body state) — output replicated
+    over ``tp_axis``."""
+    col, row = tp_split_block(block)
+    body = block.body.layers
+    h, new_state = x, {}
+    after_row = False
+    for i, l in enumerate(body):
+        layer_rng = None
+        if l.needs_rng and rng is not None:
+            # NOTE: channel ops between the conv pair see LOCAL channels;
+            # a dropout mask drawn here covers this shard's slice (same
+            # marginal semantics, different pattern than unsharded)
+            layer_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, i),
+                lax.axis_index(tp_axis) if not after_row else 0)
+        if l is row:
+            # row-parallel: partial sums over the sharded input channels;
+            # keep the (replicated) bias OUT of the psum so its gradient
+            # never crosses the reduction
+            from cnn_tpu import ops
+            p = params[l.name]
+            y = ops.conv2d({"w": p["w"], "b": jnp.zeros_like(p["b"])}, h,
+                           l.stride, compute_dtype, padding=l.padding)
+            h = _psum_id_bwd(y, tp_axis) + p["b"].astype(y.dtype)
+            after_row = True
+            continue
+        h, s = l.apply(params.get(l.name), (state or {}).get(l.name), h,
+                       train=train, rng=layer_rng,
+                       compute_dtype=compute_dtype)
+        if l.has_state:
+            new_state[l.name] = s
+    from cnn_tpu.nn.module import ResidualBlock
+    return ResidualBlock.combine(h, x), (new_state or None)
+
+
+def trunk_tp_pspecs(trunk: StackedBlocks, stage: str = "stage",
+                    model: str = "model"):
+    """Per-leaf PartitionSpec trees ``(params, state)`` for a TP'd trunk:
+    leading ``[L]`` axis on 'stage', channel axes of the column conv and
+    the layers between the pair on 'model', everything after the row conv
+    replicated over 'model'. The trees match the trunk's params/state
+    pytree structure exactly (shard_map in_specs requirement)."""
+    col, row = tp_split_block(trunk.block)
+    p_specs, s_specs = {}, {}
+    after_row = False
+    for l in trunk.block.body.layers:
+        if l is col:
+            p_specs[l.name] = {"w": P(stage, None, None, None, model),
+                               "b": P(stage, model)}
+        elif l is row:
+            p_specs[l.name] = {"w": P(stage, None, None, model, None),
+                               "b": P(stage)}
+            after_row = True
+        elif isinstance(l, BatchNorm2D):
+            spec = P(stage) if after_row else P(stage, model)
+            p_specs[l.name] = {"gamma": spec, "beta": spec}
+            s_specs[l.name] = {"mean": spec, "var": spec}
+        elif l.has_params or l.has_state:
+            raise ValueError(f"unsupported parameterized TP body layer "
+                             f"{l.name} ({type(l).__name__})")
+    return {"body": p_specs}, {"body": s_specs}
 
 
 def pp_decompose(model) -> tuple[Sequential, StackedBlocks, Sequential]:
@@ -63,10 +194,6 @@ def pp_decompose(model) -> tuple[Sequential, StackedBlocks, Sequential]:
             f"found {len(idx)} in {[l.name for l in layers]}")
     i = idx[0]
     trunk = layers[i]
-    if trunk.block.needs_rng:
-        raise ValueError("pipelined trunk blocks must not consume rng "
-                         "(per-tick rng would differ between the pipelined "
-                         "and sequential schedules)")
     head = layers[i + 1:]
     if any(l.has_state for l in head):
         raise ValueError("layers after the pipelined trunk must be "
@@ -77,11 +204,18 @@ def pp_decompose(model) -> tuple[Sequential, StackedBlocks, Sequential]:
 
 def _gpipe_trunk(trunk: StackedBlocks, params_s, state_s, h, *,
                  n_stages: int, n_microbatches: int, train: bool,
-                 compute_dtype=None, axis: str = "stage"):
+                 compute_dtype=None, axis: str = "stage", rng_keys=None,
+                 tp_axis: Optional[str] = None):
     """Per-device GPipe loop (call inside shard_map over ``axis``).
 
     ``params_s``/``state_s``: this stage's slice, leaves ``[L/S, ...]``.
     ``h``: the full local batch ``[B, ...]`` entering the trunk.
+    ``rng_keys``: this stage's ``[L/S]`` slice of the trunk's per-block
+    keys (rng-consuming blocks, e.g. Dropout). Keys depend on the BLOCK
+    index only — never the tick — so the pipelined schedule draws exactly
+    the masks the sequential scan draws (M=1 bitwise; with M > 1 every
+    microbatch shares the block's mask, which is precisely the sequential
+    semantics of a per-batch channel mask).
     Returns (trunk output ``[B, ...]`` — valid on the LAST stage only —
     and this stage's updated state slice).
     """
@@ -96,10 +230,21 @@ def _gpipe_trunk(trunk: StackedBlocks, params_s, state_s, h, *,
         xs = {"p": params_s}
         if has_state:
             xs["s"] = st
+        if rng_keys is not None:
+            xs["k"] = rng_keys
 
         def body(hh, inp):
-            y, new_s = block.apply(inp["p"], inp.get("s"), hh, train=train,
-                                   compute_dtype=compute_dtype)
+            if tp_axis is not None:
+                y, new_body = _tp_body_apply(
+                    block, inp["p"]["body"],
+                    (inp.get("s") or {}).get("body"), hh, train=train,
+                    rng=inp.get("k"), compute_dtype=compute_dtype,
+                    tp_axis=tp_axis)
+                new_s = {"body": new_body} if has_state else None
+            else:
+                y, new_s = block.apply(inp["p"], inp.get("s"), hh,
+                                       train=train, rng=inp.get("k"),
+                                       compute_dtype=compute_dtype)
             return y, (new_s if has_state else None)
 
         if trunk.remat:  # same memory/recompute trade as the scanned trunk
@@ -131,12 +276,17 @@ def _gpipe_trunk(trunk: StackedBlocks, params_s, state_s, h, *,
     return outs.reshape(B, *h.shape[1:]), new_state
 
 
-def _specs(model, mesh: Mesh, trunk_name: str):
-    """(param/state in-out spec trees, batch spec) for shard_map."""
+def _specs(model, mesh: Mesh, trunk):
+    """(param/state in-out spec trees, batch spec) for shard_map. With a
+    'model' axis in the mesh, the trunk gets per-leaf TP specs
+    (trunk_tp_pspecs); otherwise a blanket P('stage') prefix."""
     data = "data" if "data" in mesh.axis_names else None
-    pspec = {l.name: (P("stage") if l.name == trunk_name else P())
+    tp = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    t_pspec, t_sspec = (trunk_tp_pspecs(trunk) if tp
+                        else (P("stage"), P("stage")))
+    pspec = {l.name: (t_pspec if l.name == trunk.name else P())
              for l in model.net.layers if l.has_params}
-    sspec = {l.name: (P("stage") if l.name == trunk_name else P())
+    sspec = {l.name: (t_sspec if l.name == trunk.name else P())
              for l in model.net.layers if l.has_state}
     return pspec, sspec, P(data)
 
@@ -156,13 +306,32 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
     S = mesh.shape["stage"]
     assert trunk.n_blocks % S == 0, \
         f"{trunk.n_blocks} blocks must divide over {S} stages"
-    pspec, sspec, bspec = _specs(model, mesh, trunk.name)
+    pspec, sspec, bspec = _specs(model, mesh, trunk)
     data_axis = "data" if "data" in mesh.axis_names else None
     stem_state_names = [l.name for l in stem.layers if l.has_state]
+    # full-net layer index of the trunk: rng keys must fold the SAME
+    # indices Sequential.apply folds, or pipelined dropout masks diverge
+    # from the sequential schedule
+    trunk_idx = len(stem.layers)
+    chunk = trunk.n_blocks // S
+    tp_axis = ("model" if "model" in mesh.axis_names
+               and mesh.shape["model"] > 1 else None)
+    if tp_axis:
+        tp_split_block(trunk.block)  # fail fast on unsupported shapes
 
     def device_fn(params, state, images, labels, rng):
         s = lax.axis_index("stage")
         last = S - 1
+        trunk_keys = None
+        if trunk.needs_rng and rng is not None:
+            # exactly StackedBlocks.apply's distribution (nn/module.py):
+            # split(fold_in(rng, trunk_idx), L), then this stage's slice
+            # (sliced via key_data — dynamic_slice needs a plain dtype)
+            all_keys = jax.random.split(
+                jax.random.fold_in(rng, trunk_idx), trunk.n_blocks)
+            kd = lax.dynamic_slice_in_dim(
+                jax.random.key_data(all_keys), s * chunk, chunk)
+            trunk_keys = jax.random.wrap_key_data(kd)
 
         def loss_fn(params):
             h, stem_state, _ = stem.apply(params, state, images, train=True,
@@ -170,8 +339,10 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
             out, trunk_state = _gpipe_trunk(
                 trunk, params[trunk.name], state.get(trunk.name), h,
                 n_stages=S, n_microbatches=n_microbatches, train=True,
-                compute_dtype=compute_dtype)
-            logits, _, _ = head.apply(params, {}, out, train=True,
+                compute_dtype=compute_dtype, rng_keys=trunk_keys,
+                tp_axis=tp_axis)
+            logits, _, _ = head.apply(params, {}, out, train=True, rng=rng,
+                                      rng_offset=trunk_idx + 1,
                                       compute_dtype=compute_dtype)
             logits = logits.astype(jnp.float32)
             # the pipeline output is only live on the last stage; stages
@@ -187,6 +358,12 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
             jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         def reduce_grad(name, g):
+            # trunk grads live where their shard lives (stage x model —
+            # sharded leaves are local; replicated-over-'model' leaves get
+            # identical grads on every model shard since the bias/BN sit
+            # outside the psum). Stem/head grads psum over 'stage' (only
+            # the stage holding the live path contributes non-zero) and
+            # are identical across 'model' (replicated compute).
             g = g if name == trunk.name else lax.psum(g, "stage")
             return lax.pmean(g, data_axis) if data_axis else g
         grads = {n: jax.tree.map(partial(reduce_grad, n), g)
@@ -211,7 +388,10 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
 
     def step(ts: TrainState, images, labels):
         images = _prep(images, compute_dtype)
-        rng = jax.random.fold_in(ts.rng, ts.step)
+        # same model-key derivation as the sequential step (train_step.py:
+        # fold step, split off the augment stream) so dropout masks match
+        # the unpipelined schedule bitwise
+        rng, _ = jax.random.split(jax.random.fold_in(ts.rng, ts.step))
         grads, new_state, loss, correct = spmd(
             ts.params, ts.state, images, labels, rng)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
@@ -234,9 +414,11 @@ def make_pp_eval_step(model, mesh: Mesh, *, n_microbatches: int = 1,
     """
     stem, trunk, head = pp_decompose(model)
     S = mesh.shape["stage"]
-    pspec, sspec, bspec = _specs(model, mesh, trunk.name)
+    pspec, sspec, bspec = _specs(model, mesh, trunk)
     data_axis = "data" if "data" in mesh.axis_names else None
     data_dim = mesh.shape.get("data", 1)
+    tp_axis = ("model" if "model" in mesh.axis_names
+               and mesh.shape["model"] > 1 else None)
 
     def device_fn(params, state, images):
         s = lax.axis_index("stage")
@@ -245,7 +427,7 @@ def make_pp_eval_step(model, mesh: Mesh, *, n_microbatches: int = 1,
         out, _ = _gpipe_trunk(
             trunk, params[trunk.name], state.get(trunk.name), h,
             n_stages=S, n_microbatches=n_microbatches, train=False,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, tp_axis=tp_axis)
         logits, _, _ = head.apply(params, {}, out, train=False,
                                   compute_dtype=compute_dtype)
         logits = jnp.where(s == S - 1, logits.astype(jnp.float32), 0.0)
@@ -281,14 +463,33 @@ def shard_pp_train_state(ts: TrainState, mesh: Mesh, model) -> TrainState:
     """Place a TrainState for pipeline parallelism: every leaf whose pytree
     path passes through the trunk's name shards its leading ``[L]`` axis over
     'stage'; everything else replicates. Optimizer buffers mirror their
-    parameter's placement (their paths contain the same layer name)."""
+    parameter's placement (their paths contain the same layer name).
+    With a 'model' mesh axis, trunk leaves additionally take their
+    per-leaf TP spec (trunk_tp_pspecs), looked up by the path segments
+    after the trunk's name — which works for optimizer buffers too, since
+    they mirror the param tree."""
     _, trunk, _ = pp_decompose(model)
     replicated = NamedSharding(mesh, P())
     staged = NamedSharding(mesh, P("stage"))
+    tp_tree = None
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        p_specs, s_specs = trunk_tp_pspecs(trunk)
+        tp_tree = {"body": {k: {**p_specs["body"].get(k, {}),
+                                **s_specs["body"].get(k, {})}
+                            for k in (p_specs["body"] | s_specs["body"])}}
 
     def place(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        sh = staged if trunk.name in names else replicated
+        if trunk.name not in names:
+            return jax.device_put(leaf, replicated)
+        sh = staged
+        if tp_tree is not None:
+            node = tp_tree
+            for seg in names[names.index(trunk.name) + 1:]:
+                if isinstance(node, dict) and seg in node:
+                    node = node[seg]
+            if isinstance(node, P):
+                sh = NamedSharding(mesh, node)
         return jax.device_put(leaf, sh)
 
     def tree_place(tree):

@@ -41,11 +41,7 @@ DEFAULT_IMAGES = [
 ]
 
 
-def _minmax(cam: jnp.ndarray) -> jnp.ndarray:
-    lo, hi = jnp.min(cam), jnp.max(cam)
-    # an all-constant CAM (e.g. ReLU of a fully non-positive weighted sum)
-    # must map to zeros, not NaN
-    return (cam - lo) / jnp.maximum(hi - lo, 1e-12)
+from cnn_tpu.ops.tensor import minmax_normalize as _minmax
 
 
 def compute_cam(model, params, state, x: jnp.ndarray, layer_name: str,

@@ -234,6 +234,7 @@ def main(argv=None):
             compute_dtype=compute_dtype, augment_fn=augment_fn,
             donate=train_cfg.donate,
             label_smoothing=train_cfg.label_smoothing, mesh=mesh,
+            sample_mode=data_cfg.sample_mode,
             steps_per_call=train_cfg.steps_per_call)
     elif pp_mesh is not None:
         from cnn_tpu.parallel import make_pp_train_step
