@@ -142,14 +142,16 @@ def measure_train_e2e(batch_size: int = 256, iters: int = 40,
     return batch_size * steps_per_call * iters / (time.perf_counter() - t0)
 
 
-def measure_pipecnn_mfu(width: int = 128, n_blocks: int = 8,
-                        batch_size: int = 128, iters: int = 12):
+def measure_pipecnn_mfu(width: int = 256, n_blocks: int = 8,
+                        batch_size: int = 256, iters: int = 12):
     """(img/s, MFU) of the deep scan-over-layers family (models/pipecnn).
 
     AlexNet's single-digit MFU is the physics of a 111k-param Cin=3 model;
     this measures what the SAME train-step machinery sustains when the
     model shape can feed the MXU (wide shape-preserving residual trunk,
-    remat'd scan): ~44% MFU at width 128, ~52% at width 256 (measured)."""
+    scanned with the selective remat='conv' policy): 62% at width 256,
+    70% at w384, 76% at w512 (tools/bench_deep_mfu.py sweep, BASELINE.md
+    §r3 — full remat capped the same shapes at 44-52% in r2)."""
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
@@ -277,7 +279,17 @@ def check_parity() -> float | None:
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the deep-trunk programs compile in minutes
+    # on the remote helper; driver re-runs hit the cache
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     backend = jax.default_backend()
     bf16 = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
@@ -297,6 +309,7 @@ def main():
     infer_dev = measure_infer_device_ms()
     parity = check_parity()
     deep_ips, deep_mfu = measure_pipecnn_mfu()
+    _, deep_wide_mfu = measure_pipecnn_mfu(width=512, batch_size=128)
 
     from cnn_tpu.models import AlexNet
     flops_img = analytic_train_flops_per_image(AlexNet(num_classes=3))
@@ -325,8 +338,9 @@ def main():
         "mfu_pct": round(100 * mfu, 2),
         "mfu_s2d_pct": round(100 * s2d * flops_img / peak, 2),
         "train_images_per_sec_s2d": round(s2d, 1),
-        "deep_train_images_per_sec": round(deep_ips, 1),  # pipecnn w128 L8
+        "deep_train_images_per_sec": round(deep_ips, 1),  # pipecnn w256 L8
         "deep_mfu_pct": round(100 * deep_mfu, 2),
+        "deep_wide_mfu_pct": round(100 * deep_wide_mfu, 2),  # pipecnn w512 L8
         "peak_bf16_tflops": round(peak / 1e12),
         "infer_p50_ms": round(infer_p50, 2),
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),

@@ -56,7 +56,7 @@ def _trunk_block(width: int, batch_norm: bool,
 class PipeCNN:
     def __init__(self, num_classes: int = 3, width: int = 64,
                  n_blocks: int = 8, image_size: int = 224,
-                 batch_norm: bool = True, remat: bool = True,
+                 batch_norm: bool = True, remat="conv",
                  dropout: float = 0.0):
         self.num_classes = num_classes
         self.image_size = image_size

@@ -299,15 +299,22 @@ class StackedBlocks(Layer):
 
     The block must be shape-preserving (``out_shape(s) == s``).
 
-    ``remat=True`` wraps the scanned body in ``jax.checkpoint``: the
-    backward pass recomputes each block's internals instead of saving L
-    stacks of residuals — activation memory drops from O(L * ops-per-block)
-    to O(L) carries, the standard scan-over-layers + remat idiom that lets
-    batch/depth scale to the HBM limit.
+    ``remat=True`` (or ``'full'``) wraps the scanned body in
+    ``jax.checkpoint``: the backward pass recomputes each block's internals
+    instead of saving L stacks of residuals — activation memory drops from
+    O(L * ops-per-block) to O(L) carries, the standard scan-over-layers +
+    remat idiom that lets batch/depth scale to the HBM limit.
+
+    ``remat='conv'`` is the selective policy: conv outputs (tagged
+    ``'conv_out'`` in ops/conv.py) are SAVED, so the backward never re-runs
+    the MXU-bound convs — it recomputes only the cheap VPU elementwise tail
+    (BN/ReLU/bias). Costs ~2 saved activations per block instead of ~6,
+    with none of full remat's 25% matmul-FLOP overhead; measured fastest on
+    the deep trunk (tools/bench_deep_mfu.py, BASELINE.md §r3).
     """
     block: Any = None
     n_blocks: int = 1
-    remat: bool = False
+    remat: Any = False  # False | True | 'full' | 'conv'
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
@@ -338,7 +345,12 @@ class StackedBlocks(Layer):
                 compute_dtype=compute_dtype)
             return y, new_s if self.has_state else None
 
-        if self.remat:
+        if self.remat == "conv":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"))
+        elif self.remat:
             body = jax.checkpoint(body)
         y, new_state = jax.lax.scan(body, x, xs)
         return y, (new_state if self.has_state else state)

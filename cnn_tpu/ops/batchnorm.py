@@ -28,6 +28,7 @@ the reference's global ``no_grad`` flag (``architectures.h:19-30``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def batch_norm2d_init(num_channels: int, dtype=jnp.float32,
@@ -55,9 +56,17 @@ def batch_norm2d(params: dict, state: dict, x: jnp.ndarray, *,
     beta = params["beta"].astype(jnp.float32)
     if train:
         x32 = x.astype(jnp.float32)
+        # single-pass stats: E[x^2] - E[x]^2 lets XLA compute both
+        # reductions in ONE read of x (the two-pass formula re-reads the
+        # whole activation for the centered-square pass); biased variance
+        # (divides by N), as the reference does
         mean = jnp.mean(x32, axis=(0, 1, 2))
-        # biased variance (divides by N), as the reference does
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+        # [C]-sized stats are named saveable for selective remat
+        # (StackedBlocks remat='conv'): costing bytes, they spare the
+        # backward pass a full re-reduction over every conv output
+        mean = checkpoint_name(mean, "bn_stats")
+        var = checkpoint_name(var, "bn_stats")
         new_state = {
             "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
             "var": (1.0 - momentum) * state["var"] + momentum * var,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
@@ -119,7 +120,7 @@ def conv2d_s2d(params: dict, x: jnp.ndarray, stride: int = 2,
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
     )
-    return out + b.astype(out.dtype)
+    return checkpoint_name(out + b.astype(out.dtype), "conv_out")
 
 
 def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
@@ -149,4 +150,7 @@ def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
     )
-    return out + b.astype(out.dtype)
+    # named for selective rematerialization (StackedBlocks remat='conv'
+    # saves conv outputs, recomputes the cheap elementwise tail); an
+    # identity outside jax.checkpoint policies
+    return checkpoint_name(out + b.astype(out.dtype), "conv_out")

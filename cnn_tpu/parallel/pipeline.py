@@ -247,7 +247,12 @@ def _gpipe_trunk(trunk: StackedBlocks, params_s, state_s, h, *,
                                        compute_dtype=compute_dtype)
             return y, (new_s if has_state else None)
 
-        if trunk.remat:  # same memory/recompute trade as the scanned trunk
+        if trunk.remat == "conv":  # mirror StackedBlocks' selective policy
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"))
+        elif trunk.remat:  # same memory/recompute trade as the scanned trunk
             body = jax.checkpoint(body)
         y, new_st = lax.scan(body, act, xs)
         return y, (new_st if has_state else st)

@@ -216,13 +216,16 @@ def test_flops_counter_handles_nested_layers():
     assert d == 4 * blk
 
 
-def test_stacked_blocks_remat_matches_plain():
-    """jax.checkpoint on the scanned body changes memory, not math."""
+@pytest.mark.parametrize("mode", [True, "conv"])
+def test_stacked_blocks_remat_matches_plain(mode):
+    """jax.checkpoint on the scanned body changes memory, not math —
+    for both full remat and the selective save-conv-outputs policy
+    (remat='conv', jax.checkpoint_policies.save_only_these_names)."""
     from cnn_tpu import optim as _optim
     plain = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
                     remat=False)
     remat = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
-                    remat=True)
+                    remat=mode)
     opt = _optim.sgd(1e-2)
     ts_a = create_train_state(plain, opt, jax.random.key(0))
     ts_b = create_train_state(remat, opt, jax.random.key(0))
