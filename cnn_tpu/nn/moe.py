@@ -44,6 +44,10 @@ class MoEBlock(Layer):
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
         object.__setattr__(self, "has_state", True)   # load stats (monitor)
+        # the state is per-expert load fractions — pure monitoring, never
+        # read by the forward pass, so eval-only transforms (BN folding,
+        # int8 serving — quant.py) may drop it and keep the block
+        object.__setattr__(self, "state_eval_inert", True)
 
     def init(self, key, dtype=jnp.float32):
         k_r, k_1, k_2 = jax.random.split(key, 3)

@@ -114,6 +114,14 @@ def _fold_layer_list(layers, params, state):
             new_params[layer.name] = {"body": body_params}
             i += 1
             continue
+        if layer.has_state and getattr(layer, "state_eval_inert", False):
+            # monitoring-only state (e.g. MoEBlock's expert-load fractions)
+            # is never read by the forward pass — keep the layer, drop the
+            # state; its params (the f32 expert bank) pass through below
+            new_params[layer.name] = params[layer.name]
+            new_layers.append(layer)
+            i += 1
+            continue
         if layer.has_state:
             raise ValueError(
                 f"cannot fold stateful layer {layer.name} "

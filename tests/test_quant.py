@@ -297,3 +297,90 @@ def test_int8_resnet_committed_checkpoint_agreement():
     fwd = make_int8_forward(model, params, state, imgs)
     probs = np.asarray(fwd(jnp.asarray(imgs)))
     assert probs.argmax(1).tolist() == f32_pred.tolist()
+
+
+def _trained_moecnn(steps=10):
+    model = get_model("moecnn", num_classes=3, width=16, n_experts=4,
+                      expert_hidden=32, image_size=32)
+    opt = optim.make_optimizer("momentum", 5e-2, 0.9)
+    ts = create_train_state(model, opt, jax.random.key(15))
+    step = make_train_step(model, opt, donate=False)
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.integers(0, 3, (16,), dtype=np.int32))
+    for _ in range(steps):
+        ts, _ = step(ts, x, y)
+    return model, ts
+
+
+def test_fold_batchnorm_moecnn_exact():
+    """BN folding through a net with a stateful-but-eval-inert MoE block:
+    the block passes through (params intact, monitoring state dropped) and
+    the folded graph equals the f32 eval graph."""
+    model, ts = _trained_moecnn()
+    folded, fparams = fold_batchnorm(model, ts.params, ts.state)
+    assert not any(l.name.startswith("stem_bn") for l in folded.net.layers)
+    moe = folded.net["moe"]
+    assert moe.n_experts == 4      # the block survives the fold
+    for k in ("router", "w1", "b1", "w2", "b2"):
+        np.testing.assert_array_equal(np.asarray(fparams["moe"][k]),
+                                      np.asarray(ts.params["moe"][k]))
+    x = jnp.asarray(np.random.default_rng(16).integers(
+        0, 256, (4, 32, 32, 3), np.uint8)).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    l1, _, _ = folded.apply(fparams, {}, x)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_moecnn_agreement():
+    """Int8 MoECNN (stem convs + head dense quantized; the expert bank
+    stays f32 as documented) classifies like the f32 graph."""
+    model, ts = _trained_moecnn()
+    rng = np.random.default_rng(17)
+    calib = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    test = rng.integers(0, 256, (32, 32, 32, 3), dtype=np.uint8)
+
+    folded, qparams = quantize_int8(model, ts.params, ts.state, calib)
+    assert qparams["stem_conv1"]["w_q"].dtype == jnp.int8
+    assert qparams["linear_1"]["w_q"].dtype == jnp.int8
+    assert "w_q" not in qparams["moe"]           # expert bank stays f32
+    assert qparams["moe"]["w1"].dtype != jnp.int8
+
+    fwd = make_int8_forward(model, ts.params, ts.state, calib)
+    probs = np.asarray(fwd(jnp.asarray(test)))
+    x = jnp.asarray(test).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+    agree = (probs.argmax(1) == f32_pred).mean()
+    assert agree >= 0.9, f"int8/f32 agreement {agree}"
+
+
+MOE_CKPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "checkpoints", "moecnn",
+    "iter_14000_train_0.983_valid_0.960.ckpt")
+
+
+@pytest.mark.skipif(not (os.path.exists(MOE_CKPT)
+                         and os.path.exists("/root/reference/datasets/images")),
+                    reason="committed moecnn checkpoint or oracle images absent")
+def test_int8_moecnn_committed_checkpoint_agreement():
+    """The committed MoECNN flagship, BN-folded and int8-quantized,
+    classifies the oracle images identically to its own f32 graph —
+    closing the last family excluded from int8 serving (VERDICT r2)."""
+    import cv2
+    from cnn_tpu.tools.infer import load_params
+
+    model = get_model("moecnn", num_classes=3)
+    params, state = load_params(MOE_CKPT, model)
+    names = ["dog", "dog_3", "panda", "panda_2", "bird", "bird_2"]
+    imgs = np.stack([cv2.resize(
+        cv2.imread(f"/root/reference/datasets/images/{n}.jpg"), (224, 224))
+        for n in names])
+    x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(params, state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+
+    fwd = make_int8_forward(model, params, state, imgs)
+    probs = np.asarray(fwd(jnp.asarray(imgs)))
+    assert probs.argmax(1).tolist() == f32_pred.tolist()
