@@ -33,6 +33,7 @@ class InferenceEngine:
         (cnn_tpu/quant.py): BatchNorm folded away, every conv/dense running
         s8 x s8 -> s32 on the MXU with calibrated activation scales."""
         self._quantized = int8_calib is not None
+        self._artifact = None
         if self._quantized:
             from cnn_tpu.quant import quantize_int8
             model, params = quantize_int8(model, params, state, int8_calib)
@@ -44,8 +45,36 @@ class InferenceEngine:
         self.compute_dtype = compute_dtype
         self._compiled: dict[int, object] = {}
 
+    @classmethod
+    def from_artifact(cls, artifact, buckets=(1, 8, 64)) -> "InferenceEngine":
+        """Serve a pre-exported program (``cnn_tpu/export.py``): the weights
+        and the graph live inside the artifact, so no model class or
+        checkpoint is involved — the engine only supplies bucketing,
+        streaming, and micro-batching around ``Exported.call`` (which jax
+        traces like any other computation, so the AOT bucket compiles
+        below still apply)."""
+        eng = cls.__new__(cls)
+        eng._quantized = bool(artifact.meta.get("int8"))
+        eng._artifact = artifact
+        eng.model = artifact          # only .image_size is used
+        eng.params = {}
+        eng.state = {}
+        eng.buckets = tuple(sorted(buckets))
+        eng.compute_dtype = None
+        eng._compiled = {}
+        return eng
+
     def _fn(self):
         model, compute_dtype = self.model, self.compute_dtype
+
+        if self._artifact is not None:
+            exported = self._artifact
+
+            def forward(params, state, images_u8):
+                del params, state
+                return exported(images_u8)
+
+            return forward
 
         if self._quantized:
             from cnn_tpu.quant import quantized_apply

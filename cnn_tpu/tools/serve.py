@@ -13,10 +13,15 @@ image. Concurrent connections share the engine through the micro-batching
 server, so throughput approaches the batched ceiling while each request
 pays one dispatch window.
 
+``--artifact`` serves a pre-exported AOT artifact
+(``cnn_tpu.tools.export_artifact``) instead of a checkpoint: the program
+and weights come out of one file, no model class is constructed.
+
 Usage:
     python -m cnn_tpu.tools.serve img1.jpg img2.jpg ...
     find dir/ -name '*.jpg' | python -m cnn_tpu.tools.serve --checkpoint ck
     python -m cnn_tpu.tools.serve --listen 7070 &
+    python -m cnn_tpu.tools.serve --artifact model.ctsa img1.jpg
 """
 
 from __future__ import annotations
@@ -144,15 +149,36 @@ def main(argv=None):
     ap.add_argument("--listen", type=int, default=0,
                     help="run a TCP server on this port (length-prefixed "
                          "encoded images in, category\\tprob out)")
+    ap.add_argument("--artifact", default=None,
+                    help="serve a pre-exported AOT artifact "
+                         "(cnn_tpu.tools.export_artifact) instead of a "
+                         "checkpoint — no model code or weights needed")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
-
-    model = get_model(args.model, num_classes=len(categories),
-                      image_size=args.image_size, batch_norm=args.batch_norm)
-    params, state = load_params(args.checkpoint, model)
     buckets = (1,) if args.stream else (1, 8, args.max_batch)
 
+    artifact = None
+    if args.artifact:
+        from cnn_tpu.export import ServingArtifact
+        artifact = ServingArtifact.load(args.artifact)
+        if artifact.meta.get("class_names"):
+            categories = artifact.meta["class_names"]
+        args.image_size = artifact.image_size
+        if args.int8:
+            ap.error("--int8 with --artifact: quantization is decided at "
+                     "export time (the artifact may already be int8)")
+    else:
+        model = get_model(args.model, num_classes=len(categories),
+                          image_size=args.image_size,
+                          batch_norm=args.batch_norm)
+        params, state = load_params(args.checkpoint, model)
+
     if args.listen:
+        if artifact is not None:
+            engine = InferenceEngine.from_artifact(artifact, buckets=buckets)
+            serve_tcp(engine, args.listen, args.image_size, categories,
+                      args.max_batch, args.batch_timeout_ms)
+            return 0
         int8_calib = None
         if args.int8:
             # server mode has no request images up front: calibrate from
@@ -178,16 +204,19 @@ def main(argv=None):
             print(f"{p}\tERROR\tunreadable", flush=True)
     loaded = [(p, img) for p, img in loaded if img is not None]
 
-    int8_calib = None
-    if args.int8:
-        if not loaded:
-            # match the --listen branch: never silently serve f32 when the
-            # user asked for int8 but no calibration images loaded
-            ap.error("--int8 needs at least one readable image to "
-                     "calibrate activation scales")
-        int8_calib = np.stack([img for _, img in loaded[:64]])
-    engine = InferenceEngine(model, params, state, buckets=buckets,
-                             int8_calib=int8_calib)
+    if artifact is not None:
+        engine = InferenceEngine.from_artifact(artifact, buckets=buckets)
+    else:
+        int8_calib = None
+        if args.int8:
+            if not loaded:
+                # match the --listen branch: never silently serve f32 when
+                # the user asked for int8 but no calibration images loaded
+                ap.error("--int8 needs at least one readable image to "
+                         "calibrate activation scales")
+            int8_calib = np.stack([img for _, img in loaded[:64]])
+        engine = InferenceEngine(model, params, state, buckets=buckets,
+                                 int8_calib=int8_calib)
 
     def emit(path, label, probs):
         print(f"{path}\t{categories[label]}\t{probs[label]:.6f}", flush=True)
