@@ -88,6 +88,9 @@ class TrainConfig:
     warmup_steps: int = 0
     weight_decay: float = 0.0       # superset (reference: none)
     label_smoothing: float = 0.0    # superset (reference: hard one-hots)
+    ema: float = 0.0                # weight EMA decay (0 = off); validation,
+                                    # best-tracking and the final test then
+                                    # use the averaged weights (optim.with_ema)
     seed: int = 212
     # parallelism: number of data-parallel shards ('auto' = all local devices)
     data_parallel: int = 0          # 0 = auto

@@ -36,6 +36,55 @@ def sgd(learning_rate: float) -> Optimizer:
     return Optimizer(init, update)
 
 
+class EmaState(NamedTuple):
+    """Wrapper optimizer state: inner optimizer state + the EMA weights."""
+    inner: Any
+    ema: Any
+    count: jnp.ndarray
+
+
+def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
+    """Track an exponential moving average of the weights alongside ``opt``.
+
+    The EMA rides the optimizer state (so it checkpoints, resumes, and
+    shards with everything else — its pytree paths contain the layer
+    names, giving it the same TP placement as the raw params). Early
+    steps use the bias-corrected effective decay
+    ``min(decay, (1+t)/(10+t))`` so the average warms up from the actual
+    weights instead of the init. Evaluate/serve with
+    ``ema_params(opt_state)``; a standard production accuracy lever the
+    reference (plain in-layer SGD, conv2d.cpp:205-217) has no analog of.
+    """
+    d = jnp.float32(decay)
+
+    def init(params):
+        # copy=True: astype on f32 params would ALIAS the param buffers,
+        # and a donating train step then donates each buffer twice
+        return EmaState(inner=opt.init(params),
+                        ema=jax.tree_util.tree_map(
+                            lambda p: jnp.array(p, jnp.float32, copy=True),
+                            params),
+                        count=jnp.zeros((), jnp.int32))
+
+    def update(grads, opt_state, params):
+        new_params, inner = opt.update(grads, opt_state.inner, params)
+        count = opt_state.count + 1
+        eff = jnp.minimum(d, (1.0 + count) / (10.0 + count))
+        ema = jax.tree_util.tree_map(
+            lambda e, p: eff * e + (1.0 - eff) * p.astype(jnp.float32),
+            opt_state.ema, new_params)
+        return new_params, EmaState(inner=inner, ema=ema, count=count)
+
+    return Optimizer(init, update)
+
+
+def ema_params(opt_state) -> Any | None:
+    """The EMA weights pytree if ``opt_state`` carries one, else None."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    return None
+
+
 def from_optax(tx: optax.GradientTransformation) -> Optimizer:
     def init(params):
         return tx.init(params)

@@ -25,13 +25,9 @@ import numpy as np
 DEFAULT_CLASSES = ["dog", "panda", "bird"]  # cnn.cpp:43 category order
 
 
-def _load(src: str, model):
-    if src.endswith(".model"):
-        from cnn_tpu.utils.checkpoint import import_reference_model
-        return import_reference_model(src, model.net)
-    from cnn_tpu.utils.checkpoint import load_checkpoint
-    ts = load_checkpoint(src)
-    return ts.params, ts.state
+def _load(src: str, model, use_ema: bool = False):
+    from cnn_tpu.tools.infer import load_params
+    return load_params(src, model, use_ema=use_ema)
 
 
 def _read_calib(paths, image_size):
@@ -69,6 +65,8 @@ def main(argv=None):
                     help="calibration images; exports the int8 graph")
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--class-names", nargs="+", default=None)
+    ap.add_argument("--use-ema", action="store_true",
+                    help="export the EMA weights from an --ema training run")
     args = ap.parse_args(argv)
 
     kwargs = {"num_classes": args.num_classes,
@@ -76,7 +74,7 @@ def main(argv=None):
     if args.name == "alexnet":
         kwargs["batch_norm"] = args.batch_norm
     model = get_model(args.name, **kwargs)
-    params, state = _load(args.src, model)
+    params, state = _load(args.src, model, use_ema=args.use_ema)
     calib = (_read_calib(args.int8, model.image_size)
              if args.int8 else None)
     names = args.class_names or (

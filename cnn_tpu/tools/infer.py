@@ -32,10 +32,19 @@ DEFAULT_IMAGES = [
 ]
 
 
-def load_params(checkpoint: str, model):
+def load_params(checkpoint: str, model, use_ema: bool = False):
+    """``use_ema``: serve the EMA weights a ``--ema`` training run tracked
+    in its optimizer state (cnn_tpu/optim.py ``with_ema``)."""
     if checkpoint.endswith(".model"):
         return import_reference_model(checkpoint, model.net)
     ts = load_checkpoint(checkpoint)
+    if use_ema:
+        from cnn_tpu.optim import ema_params
+        ema = ema_params(ts.opt_state)
+        if ema is None:
+            raise ValueError(f"{checkpoint} has no EMA state "
+                             "(trained without --ema)")
+        return ema, ts.state
     return ts.params, ts.state
 
 
@@ -50,12 +59,14 @@ def main(argv=None):
     ap.add_argument("--batch-norm", action="store_true",
                     help="checkpoint was trained with BatchNorm layers")
     ap.add_argument("--bench", action="store_true", help="report p50 latency")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="use the EMA weights from an --ema training run")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
     model = get_model(args.model, num_classes=len(categories),
                       image_size=args.image_size, batch_norm=args.batch_norm)
-    params, state = load_params(args.checkpoint, model)
+    params, state = load_params(args.checkpoint, model, use_ema=args.use_ema)
     fwd = make_forward(model)
 
     images = args.images or DEFAULT_IMAGES

@@ -126,6 +126,10 @@ def main(argv=None):
                                total_steps=train_cfg.total_iters,
                                warmup_steps=train_cfg.warmup_steps,
                                weight_decay=train_cfg.weight_decay)
+    if train_cfg.ema > 0.0:
+        opt = optim.with_ema(opt, train_cfg.ema)
+        print(f"weight EMA: decay {train_cfg.ema} "
+              "(validation/test use the averaged weights)")
 
     n_dev = len(jax.devices())
     mesh = pp_mesh = None
@@ -312,12 +316,15 @@ def main(argv=None):
 
             if it % train_cfg.valid_iters == 0:
                 print("\nvalidating...")
+                eval_params = optim.ema_params(ts.opt_state)
+                eval_params = ts.params if eval_params is None else eval_params
                 if device_mode:
-                    v_loss, v_acc = evaluate_device(eval_fn, ts.params, ts.state,
+                    v_loss, v_acc = evaluate_device(eval_fn, eval_params,
+                                                    ts.state,
                                                     device_valid_ds,
                                                     train_cfg.valid_batch_size)
                 else:
-                    v_loss, v_acc = evaluate(eval_fn, ts.params, ts.state,
+                    v_loss, v_acc = evaluate(eval_fn, eval_params, ts.state,
                                              valid_loader)
                 print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
                 history.log(step=it, loss=mean_loss.get(),
@@ -358,7 +365,9 @@ def main(argv=None):
                                  augment=False, shuffle=False,
                                  image_size=data_cfg.image_size)
         confusion = ConfusionMatrix(model_cfg.num_classes)
-        t_loss, t_acc = evaluate(eval_fn, ts.params, ts.state, test_loader,
+        test_params = optim.ema_params(ts.opt_state)
+        test_params = ts.params if test_params is None else test_params
+        t_loss, t_acc = evaluate(eval_fn, test_params, ts.state, test_loader,
                                  confusion)
         print(f"Test===> [loss {t_loss:.3f}] [Accuracy {t_acc:.3f}]")
         print("confusion matrix (rows = truth):")

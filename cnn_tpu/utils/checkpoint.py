@@ -73,6 +73,8 @@ class _RestrictedUnpickler(pickle.Unpickler):
     from a shared directory cannot execute arbitrary code."""
 
     _SAFE = {
+        # our own inert NamedTuple state wrappers
+        ("cnn_tpu.optim", "EmaState"),
         ("numpy", "ndarray"), ("numpy", "dtype"),
         ("numpy.core.multiarray", "_reconstruct"),
         ("numpy._core.multiarray", "_reconstruct"),
