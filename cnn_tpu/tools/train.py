@@ -63,6 +63,23 @@ def evaluate_device(eval_step, params, state, device_ds,
 def main(argv=None):
     model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
 
+    # Preemption safety: TPU pools reclaim nodes with SIGTERM. Convert it
+    # into a request for a clean stop instead of dying mid-step; the train
+    # loop then checkpoints and exits 0, and a relaunch with --resume auto
+    # continues from that checkpoint. Installed first thing so a signal
+    # during dataset load / compile also stops cleanly at the first
+    # completed iteration. Single-process: stop at the next loop iteration.
+    # Multi-host: a one-sided break would desynchronize the collective step
+    # schedule and hang the pod, so the flag is allgathered at validation
+    # boundaries (already a sync point) and every process stops together.
+    preempted = []
+    import signal as _signal
+    for _sig in (_signal.SIGTERM, _signal.SIGUSR1):
+        try:
+            _signal.signal(_sig, lambda *_: preempted.append(True))
+        except (ValueError, OSError):  # non-main thread / platform quirk
+            pass
+
     if train_cfg.compile_cache:
         # persistent compilation cache: the big remat'd-scan programs
         # compile in minutes; identical re-launches (resume-after-preempt,
@@ -313,6 +330,24 @@ def main(argv=None):
                 print(f"\rTrain===> [batch {it}/{train_cfg.total_iters}] "
                       f"[loss {mean_loss.get():.3f}] [Accuracy {train_eval.get():.3f}] "
                       f"[{timer.images_per_sec:.1f} img/s]", end="", flush=True)
+
+            stop_now = bool(preempted) and jax.process_count() == 1
+            if (jax.process_count() > 1
+                    and it % train_cfg.valid_iters == 0):
+                # sync point: all processes agree to stop together
+                from jax.experimental import multihost_utils
+                flags = multihost_utils.process_allgather(
+                    np.asarray([int(bool(preempted))], np.int32))
+                stop_now = bool(np.asarray(flags).any())
+            if stop_now:
+                path = os.path.join(train_cfg.checkpoint_dir,
+                                    f"preempt_iter_{it}.ckpt")
+                if is_main:
+                    save_checkpoint(path, ts)
+                print(f"\npreemption signal: checkpointed step {it} to "
+                      f"{path}; relaunch with --resume auto to continue")
+                best_acc = -1.0   # exit fast: no final test under a reclaim deadline
+                break
 
             if it % train_cfg.valid_iters == 0:
                 print("\nvalidating...")
