@@ -110,6 +110,10 @@ class TrainConfig:
     steps_per_call: int = 1         # device-dataset mode: train steps chained
                                     # inside ONE compiled program (lax.scan);
                                     # cuts per-step dispatch overhead ~7%
+    grad_accum: int = 1             # gradient accumulation: split each batch
+                                    # into K sequential microbatches, average
+                                    # grads, ONE optimizer step — effective
+                                    # batch beyond the activation-HBM limit
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = "") -> None:

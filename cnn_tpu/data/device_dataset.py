@@ -252,7 +252,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            label_smoothing: float = 0.0,
                            mesh: Optional[Mesh] = None,
                            sample_mode: str = "local",
-                           steps_per_call: int = 1):
+                           steps_per_call: int = 1,
+                           grad_accum: int = 1):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
     Returns ``(ts) -> (ts, metrics)``. With ``mesh``, the batch is sampled
@@ -272,12 +273,27 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     per epoch — the reference's protocol, pipeline.cpp:145-151);
     'epoch_fixed' additionally reproduces its same-permutation-every-epoch
     quirk (pipeline.cpp:149).
+
+    ``grad_accum > 1``: the sampled batch is split into that many
+    sequential microbatches whose gradients average into ONE optimizer
+    update (``parallel.train_step.accumulate_grads``) — effective batch
+    beyond the activation-HBM limit. Composes with ``steps_per_call``
+    (the accumulation scan nests inside the steps chain).
     """
-    from cnn_tpu.parallel.train_step import TrainState, _loss_fn
+    from cnn_tpu.parallel.train_step import (TrainState, _loss_fn,
+                                             accumulate_grads)
     from cnn_tpu.ops.preprocess import uint8_to_float
 
     if mesh is not None:
         assert dataset.mesh is mesh, "dataset must be uploaded onto the same mesh"
+    constrain = None
+    if mesh is not None and grad_accum > 1:
+        mb_img = NamedSharding(mesh, P(None, "data"))
+        mb_lbl = NamedSharding(mesh, P(None, "data"))
+
+        def constrain(imgs, lbls):
+            return (jax.lax.with_sharding_constraint(imgs, mb_img),
+                    jax.lax.with_sharding_constraint(lbls, mb_lbl))
     epoch_mode = sample_mode in ("epoch", "epoch_fixed")
     if epoch_mode:
         sampler = _make_epoch_sampler(dataset, batch_size, mesh,
@@ -304,10 +320,16 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 images = images.astype(compute_dtype)
         else:
             images = uint8_to_float(images, compute_dtype or jnp.float32)
-        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-        (loss, (new_state, correct)), grads = grad_fn(
-            ts.params, ts.state, model, images, labels, k_model, True,
-            compute_dtype, False, label_smoothing)
+        if grad_accum > 1:
+            grads, new_state, loss, correct = accumulate_grads(
+                model, ts.params, ts.state, images, labels, k_model,
+                grad_accum=grad_accum, compute_dtype=compute_dtype,
+                label_smoothing=label_smoothing, constrain=constrain)
+        else:
+            grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+            (loss, (new_state, correct)), grads = grad_fn(
+                ts.params, ts.state, model, images, labels, k_model, True,
+                compute_dtype, False, label_smoothing)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,

@@ -69,10 +69,59 @@ def _prep(images, compute_dtype):
     return images
 
 
+def accumulate_grads(model, params, state, images, labels, rng, *,
+                     grad_accum, compute_dtype=None, remat=False,
+                     label_smoothing=0.0, constrain=None):
+    """Mean gradients over ``grad_accum`` sequential microbatches.
+
+    ``lax.scan`` re-uses one microbatch's activation memory for all K
+    slices, so the effective batch scales past the HBM activation limit
+    (BASELINE.md documents pipecnn w256 failing at bs>256 with saved conv
+    outputs; ``--grad-accum`` buys the same effective batch back). Equal
+    microbatch sizes make the mean-of-means exactly the full-batch mean;
+    the per-parameter sum is accumulated in the parameter dtype (f32).
+
+    Semantics under accumulation (same trade as GPipe microbatching,
+    measured zero accuracy cost in BASELINE.md §r3): BatchNorm batch
+    statistics are per-microbatch and moving stats update K times per
+    step; rng-consuming layers (Dropout) get a distinct key per
+    microbatch via ``fold_in``.
+
+    Returns ``(grads, new_state, loss, correct)`` — loss is the mean over
+    microbatches, correct the sum (full-batch semantics).
+    """
+    K = grad_accum
+    B = images.shape[0]
+    assert B % K == 0, f"batch {B} not divisible by grad_accum {K}"
+    mb = B // K
+    imgs = images.reshape((K, mb) + images.shape[1:])
+    lbls = labels.reshape((K, mb))
+    if constrain is not None:  # keep microbatch rows shard-local on a mesh
+        imgs, lbls = constrain(imgs, lbls)
+
+    def micro(carry, xs):
+        st, gacc, lacc, cacc = carry
+        x, y, i = xs
+        (loss, (st, corr)), g = jax.value_and_grad(_loss_fn, has_aux=True)(
+            params, st, model, x, y, jax.random.fold_in(rng, i), True,
+            compute_dtype, remat, label_smoothing)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+        return (st, gacc, lacc + loss, cacc + corr), None
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, p.dtype), params)
+    (new_state, gsum, lsum, csum), _ = jax.lax.scan(
+        micro, (state, zeros, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32)),
+        (imgs, lbls, jnp.arange(K, dtype=jnp.int32)))
+    grads = jax.tree_util.tree_map(lambda g: g / K, gsum)
+    return grads, new_state, lsum / K, csum
+
+
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
                     augment_fn=None, remat: bool = False,
-                    label_smoothing: float = 0.0):
+                    label_smoothing: float = 0.0, grad_accum: int = 1):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
@@ -81,7 +130,21 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     ``augment_fn(rng, images) -> images`` runs on-device inside the step
     (e.g. ``ops.augment.augment_batch`` — the TPU-native replacement for the
     reference's host-side per-image OpenCV augmentation).
+
+    ``grad_accum > 1`` splits the batch into that many sequential
+    microbatches and averages their gradients before the single optimizer
+    update (``accumulate_grads``) — the effective batch scales past the
+    activation-memory limit at the cost of K sequential trunk passes.
     """
+    constrain = None
+    if mesh is not None and grad_accum > 1:
+        sp_ = "spatial" if "spatial" in mesh.axis_names else None
+        mb_img = NamedSharding(mesh, P(None, "data", sp_))
+        mb_lbl = NamedSharding(mesh, P(None, "data"))
+
+        def constrain(imgs, lbls):
+            return (jax.lax.with_sharding_constraint(imgs, mb_img),
+                    jax.lax.with_sharding_constraint(lbls, mb_lbl))
 
     def step(ts: TrainState, images, labels):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
@@ -95,10 +158,17 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 images = images.astype(compute_dtype)
         else:
             images = _prep(images, compute_dtype)
-        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-        (loss, (new_state, correct)), grads = grad_fn(
-            ts.params, ts.state, model, images, labels, rng, True,
-            compute_dtype, remat, label_smoothing)
+        if grad_accum > 1:
+            grads, new_state, loss, correct = accumulate_grads(
+                model, ts.params, ts.state, images, labels, rng,
+                grad_accum=grad_accum, compute_dtype=compute_dtype,
+                remat=remat, label_smoothing=label_smoothing,
+                constrain=constrain)
+        else:
+            grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+            (loss, (new_state, correct)), grads = grad_fn(
+                ts.params, ts.state, model, images, labels, rng, True,
+                compute_dtype, remat, label_smoothing)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}

@@ -256,7 +256,8 @@ def main(argv=None):
             donate=train_cfg.donate,
             label_smoothing=train_cfg.label_smoothing, mesh=mesh,
             sample_mode=data_cfg.sample_mode,
-            steps_per_call=train_cfg.steps_per_call)
+            steps_per_call=train_cfg.steps_per_call,
+            grad_accum=train_cfg.grad_accum)
     elif pp_mesh is not None:
         from cnn_tpu.parallel import make_pp_train_step
         step_fn = make_pp_train_step(
@@ -267,7 +268,8 @@ def main(argv=None):
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,
                                   augment_fn=augment_fn,
-                                  label_smoothing=train_cfg.label_smoothing)
+                                  label_smoothing=train_cfg.label_smoothing,
+                                  grad_accum=train_cfg.grad_accum)
     if pp_mesh is not None:
         # M=1 for eval (bubble-only pipelining gains nothing there); the
         # eval step zero-pads ragged final validation batches internally
