@@ -28,7 +28,7 @@ def _enable_compile_cache():
 
 def measure(width: int, n_blocks: int, batch_size: int, remat,
             batch_norm: bool = True, steps_per_call: int = 1,
-            iters: int = 12):
+            iters: int = 12, grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
     from cnn_tpu import optim
@@ -43,7 +43,8 @@ def measure(width: int, n_blocks: int, batch_size: int, remat,
                       batch_norm=batch_norm)
     opt = optim.make_optimizer("momentum", 1e-2, 0.9)
     ts = create_train_state(model, opt, jax.random.key(0))
-    step = make_train_step(model, opt, compute_dtype=jnp.bfloat16)
+    step = make_train_step(model, opt, compute_dtype=jnp.bfloat16,
+                           grad_accum=grad_accum)
     x = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (batch_size, 224, 224, 3), dtype=np.uint8))
     y = jnp.asarray(np.arange(batch_size, dtype=np.int32) % 3)
@@ -81,6 +82,13 @@ def main():
         "w384_L8_bs128_conv": (384, 8, 128, "conv"),
         "w512_L8_bs128_conv": (512, 8, 128, "conv"),
         "w256_L16_bs128_conv": (256, 16, 128, "conv"),
+        # past-the-HBM-limit batches via gradient accumulation: bs512@w256
+        # and bs256@w384 fail to compile at K=1 (saved conv outputs 13.2 /
+        # 9.9 GB); K sequential microbatches of the proven size restore
+        # the effective batch at one microbatch's activation footprint
+        "w256_L8_bs512_conv_ga2": (256, 8, 512, "conv", True, 1, 12, 2),
+        "w384_L8_bs256_conv_ga2": (384, 8, 256, "conv", True, 1, 12, 2),
+        "w256_L8_bs1024_conv_ga4": (256, 8, 1024, "conv", True, 1, 6, 4),
     }.items():
         out, err = measure(*cfg)
         results[tag] = out or err
