@@ -87,7 +87,12 @@ class TrainConfig:
     lr_schedule: str = "constant"   # constant | cosine | step (reference: constant)
     warmup_steps: int = 0
     weight_decay: float = 0.0       # superset (reference: none)
+    grad_clip: float = 0.0          # clip global grad norm (0 = off)
     label_smoothing: float = 0.0    # superset (reference: hard one-hots)
+    mixup: float = 0.0              # MixUp Beta alpha (0 = off); blends
+                                    # batch pairs + mixes the loss
+    cutmix: float = 0.0             # CutMix Beta alpha (0 = off); both set
+                                    # = pick one per step uniformly
     ema: float = 0.0                # weight EMA decay (0 = off); validation,
                                     # best-tracking and the final test then
                                     # use the averaged weights (optim.with_ema)

@@ -253,7 +253,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            mesh: Optional[Mesh] = None,
                            sample_mode: str = "local",
                            steps_per_call: int = 1,
-                           grad_accum: int = 1):
+                           grad_accum: int = 1,
+                           mixup: float = 0.0, cutmix: float = 0.0):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
     Returns ``(ts) -> (ts, metrics)``. With ``mesh``, the batch is sampled
@@ -279,6 +280,10 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     update (``parallel.train_step.accumulate_grads``) — effective batch
     beyond the activation-HBM limit. Composes with ``steps_per_call``
     (the accumulation scan nests inside the steps chain).
+
+    ``mixup`` / ``cutmix``: batch-pair label-mixing augmentation
+    (``ops.augment.batch_mix``); whole-batch pairing, so exclusive with
+    ``grad_accum > 1``.
     """
     from cnn_tpu.parallel.train_step import (TrainState, _loss_fn,
                                              accumulate_grads)
@@ -286,6 +291,9 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
 
     if mesh is not None:
         assert dataset.mesh is mesh, "dataset must be uploaded onto the same mesh"
+    do_mix = mixup > 0.0 or cutmix > 0.0
+    assert not (do_mix and grad_accum > 1), \
+        "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     constrain = None
     if mesh is not None and grad_accum > 1:
         mb_img = NamedSharding(mesh, P(None, "data"))
@@ -326,10 +334,18 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 label_smoothing=label_smoothing, constrain=constrain)
         else:
+            mix = None
+            if do_mix:
+                from cnn_tpu.ops.augment import batch_mix
+                k_model, k_mix = jax.random.split(k_model)
+                images, perm, lam = batch_mix(k_mix, images,
+                                              mixup_alpha=mixup,
+                                              cutmix_alpha=cutmix)
+                mix = (perm, lam)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, k_model, True,
-                compute_dtype, False, label_smoothing)
+                compute_dtype, False, label_smoothing, mix)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,

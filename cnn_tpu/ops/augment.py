@@ -322,3 +322,63 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray, out_size: int = 224,
         s, out_size, sp, u * (s - sp), jnp.bool_(False),
         clamp=True))(span, ux)
     return _matmul_resample(j, Wy1, Wx1, dtype)
+
+
+def batch_mix(rng: jax.Array, images: jnp.ndarray,
+              mixup_alpha: float = 0.0, cutmix_alpha: float = 0.0):
+    """MixUp / CutMix: batch-level label-mixing augmentation (superset —
+    the reference's augmentor is single-image only, pipeline.h:24-38).
+
+    Returns ``(mixed_images, perm, lam)``: each sample blends with its
+    partner ``perm[i]`` — MixUp as ``lam*x + (1-lam)*x[perm]`` (Zhang et
+    al. 2018), CutMix by pasting a random rectangle of area ``1-lam``
+    from the partner (Yun et al. 2019; ``lam`` is re-derived from the
+    clipped box so the label weights match the pixel fractions exactly).
+    One scalar ``lam`` per batch (the papers' formulation). The caller
+    mixes the loss: ``lam*CE(y) + (1-lam)*CE(y[perm])`` — no soft-label
+    materialization. With both alphas > 0, each step picks one of the
+    two uniformly. Call on FLOAT images (post-normalize); uint8 blending
+    would truncate.
+    """
+    b, h, w = images.shape[:3]
+    k_perm, k_lam, k_box, k_pick = jax.random.split(rng, 4)
+    perm = jax.random.permutation(k_perm, b)
+    partner = images[perm]
+
+    def _mixup():
+        lam = jax.random.beta(k_lam, mixup_alpha, mixup_alpha)
+        lam = lam.astype(jnp.float32)
+        mixed = (images * lam.astype(images.dtype)
+                 + partner * (1.0 - lam).astype(images.dtype))
+        return mixed, lam
+
+    def _cutmix():
+        lam0 = jax.random.beta(k_lam, cutmix_alpha, cutmix_alpha)
+        cut = jnp.sqrt(1.0 - lam0)  # box side fraction -> area 1-lam0
+        ch = (cut * h).astype(jnp.int32)
+        cw = (cut * w).astype(jnp.int32)
+        k_cy, k_cx = jax.random.split(k_box)
+        cy = jax.random.randint(k_cy, (), 0, h)
+        cx = jax.random.randint(k_cx, (), 0, w)
+        y0, y1 = jnp.clip(cy - ch // 2, 0, h), jnp.clip(cy + (ch + 1) // 2, 0, h)
+        x0, x1 = jnp.clip(cx - cw // 2, 0, w), jnp.clip(cx + (cw + 1) // 2, 0, w)
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+        inside = ((rows >= y0) & (rows < y1) & (cols >= x0) & (cols < x1))
+        mixed = jnp.where(inside[None, :, :, None], partner, images)
+        # clipped box area, exactly — the effective label weight
+        lam = 1.0 - ((y1 - y0) * (x1 - x0)).astype(jnp.float32) / float(h * w)
+        return mixed, lam
+
+    if mixup_alpha > 0.0 and cutmix_alpha > 0.0:
+        xm, lm = _mixup()
+        xc, lc = _cutmix()
+        use_cut = jax.random.bernoulli(k_pick)
+        return (jnp.where(use_cut, xc, xm), perm,
+                jnp.where(use_cut, lc, lm))
+    if cutmix_alpha > 0.0:
+        mixed, lam = _cutmix()
+        return mixed, perm, lam
+    assert mixup_alpha > 0.0, "batch_mix needs mixup_alpha or cutmix_alpha"
+    mixed, lam = _mixup()
+    return mixed, perm, lam

@@ -119,20 +119,31 @@ def make_schedule(learning_rate: float, schedule: str = "constant",
 
 def make_optimizer(name: str, learning_rate: float, momentum: float = 0.0,
                    schedule: str = "constant", total_steps: int = 0,
-                   warmup_steps: int = 0, weight_decay: float = 0.0) -> Optimizer:
+                   warmup_steps: int = 0, weight_decay: float = 0.0,
+                   grad_clip: float = 0.0) -> Optimizer:
+    """``grad_clip > 0`` clips the GLOBAL gradient norm to that value
+    before the update (optax.clip_by_global_norm) — the standard
+    spike-robustness guard for long production runs."""
     lr = make_schedule(learning_rate, schedule, total_steps, warmup_steps)
+
+    def clipped(tx: optax.GradientTransformation) -> Optimizer:
+        if grad_clip > 0.0:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return from_optax(tx)
+
     if weight_decay > 0.0:
         if name == "adam":
-            return from_optax(optax.adamw(lr, weight_decay=weight_decay))
+            return clipped(optax.adamw(lr, weight_decay=weight_decay))
         tx = optax.chain(optax.add_decayed_weights(weight_decay),
                          optax.sgd(lr, momentum=momentum or None))
-        return from_optax(tx)
-    if name == "sgd" and momentum == 0.0 and isinstance(lr, float):
+        return clipped(tx)
+    if name == "sgd" and momentum == 0.0 and isinstance(lr, float) \
+            and grad_clip == 0.0:
         return sgd(lr)
     if name == "sgd" and momentum == 0.0:
-        return from_optax(optax.sgd(lr))
+        return clipped(optax.sgd(lr))
     if name in ("sgd", "momentum"):
-        return from_optax(optax.sgd(lr, momentum=momentum or 0.9))
+        return clipped(optax.sgd(lr, momentum=momentum or 0.9))
     if name == "adam":
-        return from_optax(optax.adam(lr))
+        return clipped(optax.adam(lr))
     raise ValueError(f"unknown optimizer '{name}'")

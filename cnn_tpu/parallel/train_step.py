@@ -43,7 +43,7 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
 
 
 def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
-             remat=False, label_smoothing=0.0):
+             remat=False, label_smoothing=0.0, mix=None):
     apply = model.apply
     if remat:
         # rematerialize activations in the backward pass (trade FLOPs for
@@ -58,7 +58,16 @@ def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
                                      rng=rng, compute_dtype=compute_dtype)
     logits = logits.astype(jnp.float32)
     from cnn_tpu.ops.losses import softmax_cross_entropy
-    loss = softmax_cross_entropy(logits, labels, label_smoothing)
+    if mix is not None:
+        # MixUp/CutMix (ops.augment.batch_mix): the images were blended
+        # sample-i-with-sample-perm[i] at weight lam; mix the CE the same
+        # way instead of materializing soft labels
+        perm, lam = mix
+        loss = (lam * softmax_cross_entropy(logits, labels, label_smoothing)
+                + (1.0 - lam) * softmax_cross_entropy(logits, labels[perm],
+                                                      label_smoothing))
+    else:
+        loss = softmax_cross_entropy(logits, labels, label_smoothing)
     correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
     return loss, (new_state, correct)
 
@@ -121,7 +130,8 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
                     augment_fn=None, remat: bool = False,
-                    label_smoothing: float = 0.0, grad_accum: int = 1):
+                    label_smoothing: float = 0.0, grad_accum: int = 1,
+                    mixup: float = 0.0, cutmix: float = 0.0):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
@@ -135,7 +145,14 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     microbatches and averages their gradients before the single optimizer
     update (``accumulate_grads``) — the effective batch scales past the
     activation-memory limit at the cost of K sequential trunk passes.
+
+    ``mixup`` / ``cutmix`` (Beta alphas, 0 = off) blend batch pairs and
+    mix the loss accordingly (``ops.augment.batch_mix``); mixing pairs
+    span the whole batch, so they don't compose with ``grad_accum``.
     """
+    do_mix = mixup > 0.0 or cutmix > 0.0
+    assert not (do_mix and grad_accum > 1), \
+        "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     constrain = None
     if mesh is not None and grad_accum > 1:
         sp_ = "spatial" if "spatial" in mesh.axis_names else None
@@ -165,10 +182,18 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 remat=remat, label_smoothing=label_smoothing,
                 constrain=constrain)
         else:
+            mix = None
+            if do_mix:
+                rng, mix_rng = jax.random.split(rng)
+                from cnn_tpu.ops.augment import batch_mix
+                images, perm, lam = batch_mix(mix_rng, images,
+                                              mixup_alpha=mixup,
+                                              cutmix_alpha=cutmix)
+                mix = (perm, lam)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, rng, True,
-                compute_dtype, remat, label_smoothing)
+                compute_dtype, remat, label_smoothing, mix)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}

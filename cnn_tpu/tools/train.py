@@ -142,7 +142,8 @@ def main(argv=None):
                                schedule=train_cfg.lr_schedule,
                                total_steps=train_cfg.total_iters,
                                warmup_steps=train_cfg.warmup_steps,
-                               weight_decay=train_cfg.weight_decay)
+                               weight_decay=train_cfg.weight_decay,
+                               grad_clip=train_cfg.grad_clip)
     if train_cfg.ema > 0.0:
         opt = optim.with_ema(opt, train_cfg.ema)
         print(f"weight EMA: decay {train_cfg.ema} "
@@ -158,6 +159,8 @@ def main(argv=None):
             "--pipeline-stages uses the host-loader path"
         assert not device_augment, \
             "--pipeline-stages augments in the host loader (drop --device-augment)"
+        assert train_cfg.mixup == 0.0 and train_cfg.cutmix == 0.0, \
+            "--mixup/--cutmix are not wired into the pipeline-parallel step"
         stages = train_cfg.pipeline_stages
         dp = train_cfg.data_parallel or max(1, n_dev // stages)
         # the real constraint is PER DATA SHARD: each shard's sub-batch
@@ -257,7 +260,8 @@ def main(argv=None):
             label_smoothing=train_cfg.label_smoothing, mesh=mesh,
             sample_mode=data_cfg.sample_mode,
             steps_per_call=train_cfg.steps_per_call,
-            grad_accum=train_cfg.grad_accum)
+            grad_accum=train_cfg.grad_accum,
+            mixup=train_cfg.mixup, cutmix=train_cfg.cutmix)
     elif pp_mesh is not None:
         from cnn_tpu.parallel import make_pp_train_step
         step_fn = make_pp_train_step(
@@ -269,7 +273,9 @@ def main(argv=None):
                                   mesh=mesh, donate=train_cfg.donate,
                                   augment_fn=augment_fn,
                                   label_smoothing=train_cfg.label_smoothing,
-                                  grad_accum=train_cfg.grad_accum)
+                                  grad_accum=train_cfg.grad_accum,
+                                  mixup=train_cfg.mixup,
+                                  cutmix=train_cfg.cutmix)
     if pp_mesh is not None:
         # M=1 for eval (bubble-only pipelining gains nothing there); the
         # eval step zero-pads ragged final validation batches internally
