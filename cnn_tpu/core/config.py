@@ -77,6 +77,10 @@ class TrainConfig:
     save_iters: int = 5000          # checkpoint every N iters (cnn.cpp:71)
     checkpoint_dir: str = "checkpoints/alexnet"
     resume: str = ""                # path to a native .ckpt to resume from
+    init_from: str = ""             # warm-start: copy shape-matching weights
+                                    # from this .ckpt into the fresh model
+                                    # (mismatched head keeps its init; opt
+                                    # state/step reset — transfer learning)
     history_path: str = ""          # JSONL training-history log (default: <ckpt_dir>/history.jsonl)
     profile_dir: str = ""           # write a jax.profiler trace here (empty = off)
     compile_cache: str = ""         # persistent XLA compilation cache dir:
@@ -93,6 +97,13 @@ class TrainConfig:
                                     # batch pairs + mixes the loss
     cutmix: float = 0.0             # CutMix Beta alpha (0 = off); both set
                                     # = pick one per step uniformly
+    distill_from: str = ""          # teacher .ckpt for knowledge distillation
+                                    # (loss: alpha*CE + (1-alpha)*T^2*KL)
+    distill_model: str = ""         # teacher family (default: same as --name)
+    distill_temp: float = 2.0       # distillation softmax temperature
+    distill_alpha: float = 0.5      # weight of the hard-label CE term
+    tta: str = ""                   # test-time augmentation for valid/test:
+                                    # '' | 'hflip' | 'flips' (prob averaging)
     ema: float = 0.0                # weight EMA decay (0 = off); validation,
                                     # best-tracking and the final test then
                                     # use the averaged weights (optim.with_ema)

@@ -254,7 +254,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                            sample_mode: str = "local",
                            steps_per_call: int = 1,
                            grad_accum: int = 1,
-                           mixup: float = 0.0, cutmix: float = 0.0):
+                           mixup: float = 0.0, cutmix: float = 0.0,
+                           distill=None):
     """Fully on-device train step: sampling + augment + fwd/bwd/update.
 
     Returns ``(ts) -> (ts, metrics)``. With ``mesh``, the batch is sampled
@@ -284,6 +285,11 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     ``mixup`` / ``cutmix``: batch-pair label-mixing augmentation
     (``ops.augment.batch_mix``); whole-batch pairing, so exclusive with
     ``grad_accum > 1``.
+
+    ``distill``: ``(teacher_model, t_params, t_state, temperature, alpha)``
+    — knowledge distillation; the teacher's eval-mode forward fuses into
+    the same compiled step (see ``parallel.train_step.make_train_step``).
+    Teacher params ride as jit arguments like the resident dataset does.
     """
     from cnn_tpu.parallel.train_step import (TrainState, _loss_fn,
                                              accumulate_grads)
@@ -294,6 +300,10 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     do_mix = mixup > 0.0 or cutmix > 0.0
     assert not (do_mix and grad_accum > 1), \
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
+    teacher = t_params0 = t_state0 = None
+    if distill is not None:
+        teacher, t_params0, t_state0, d_temp, d_alpha = distill
+        assert grad_accum == 1, "distillation is not wired into grad_accum"
     constrain = None
     if mesh is not None and grad_accum > 1:
         mb_img = NamedSharding(mesh, P(None, "data"))
@@ -313,7 +323,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     # captured array would be constant-folded into the HLO and shipped to
     # the compiler (473 MB program...). As arguments they stay pinned in
     # HBM and the executable just reads them.
-    def step(ts: TrainState, images_ref, labels_ref):
+    def step(ts: TrainState, images_ref, labels_ref, t_params=None,
+             t_state=None):
         rng = jax.random.fold_in(ts.rng, ts.step)
         k_sample, k_aug, k_model = jax.random.split(rng, 3)
         if epoch_mode:
@@ -342,10 +353,16 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                                               mixup_alpha=mixup,
                                               cutmix_alpha=cutmix)
                 mix = (perm, lam)
+            dist = None
+            if teacher is not None:
+                t_logits, _, _ = teacher.apply(t_params, t_state, images,
+                                               train=False,
+                                               compute_dtype=compute_dtype)
+                dist = (t_logits.astype(jnp.float32), d_temp, d_alpha)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, k_model, True,
-                compute_dtype, False, label_smoothing, mix)
+                compute_dtype, False, label_smoothing, mix, dist)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,
@@ -354,9 +371,11 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     if steps_per_call > 1:
         one = step
 
-        def step(ts: TrainState, images_ref, labels_ref):
+        def step(ts: TrainState, images_ref, labels_ref, t_params=None,
+                 t_state=None):
             def body(carry, _):
-                new_ts, m = one(carry, images_ref, labels_ref)
+                new_ts, m = one(carry, images_ref, labels_ref,
+                                t_params, t_state)
                 return new_ts, (m["loss"], m["correct"])
 
             ts, (losses, corrects) = jax.lax.scan(
@@ -368,6 +387,7 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def run(ts: TrainState):
-        return jitted(ts, dataset.images, dataset.labels)
+        return jitted(ts, dataset.images, dataset.labels,
+                      t_params0, t_state0)
 
     return run

@@ -43,3 +43,23 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
         labels = labels * (1.0 - label_smoothing) + label_smoothing / n
     nll = -jnp.sum(labels * log_p, axis=-1)
     return jnp.mean(nll)
+
+
+def distillation_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+                      temperature: float = 2.0) -> jnp.ndarray:
+    """Hinton-style knowledge-distillation term (superset — the reference
+    trains on hard labels only, func.cpp:40-53).
+
+    Batch-mean ``T^2 * KL(softmax(teacher/T) || softmax(student/T))``; the
+    ``T^2`` keeps the soft-target gradient magnitude comparable to the hard
+    CE term as the temperature changes (Hinton et al. 2015, §2). The
+    teacher logits must already be gradient-free (computed outside the
+    differentiated function); a ``stop_gradient`` here guards the math
+    anyway.
+    """
+    t = jax.lax.stop_gradient(teacher_logits.astype(jnp.float32)) / temperature
+    s = student_logits.astype(jnp.float32) / temperature
+    p_t = jax.nn.softmax(t, axis=-1)
+    kl = jnp.sum(p_t * (jax.nn.log_softmax(t, axis=-1)
+                        - jax.nn.log_softmax(s, axis=-1)), axis=-1)
+    return (temperature ** 2) * jnp.mean(kl)

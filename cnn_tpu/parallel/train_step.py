@@ -43,7 +43,7 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
 
 
 def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
-             remat=False, label_smoothing=0.0, mix=None):
+             remat=False, label_smoothing=0.0, mix=None, distill=None):
     apply = model.apply
     if remat:
         # rematerialize activations in the backward pass (trade FLOPs for
@@ -68,6 +68,14 @@ def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
                                                       label_smoothing))
     else:
         loss = softmax_cross_entropy(logits, labels, label_smoothing)
+    if distill is not None:
+        # knowledge distillation (ops.losses.distillation_loss): teacher
+        # logits are computed OUTSIDE this differentiated function on the
+        # same (augmented/mixed) images; alpha weights the hard-label term
+        from cnn_tpu.ops.losses import distillation_loss
+        t_logits, temp, alpha = distill
+        loss = alpha * loss + (1.0 - alpha) * distillation_loss(
+            logits, t_logits, temp)
     correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
     return loss, (new_state, correct)
 
@@ -131,7 +139,8 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
                     augment_fn=None, remat: bool = False,
                     label_smoothing: float = 0.0, grad_accum: int = 1,
-                    mixup: float = 0.0, cutmix: float = 0.0):
+                    mixup: float = 0.0, cutmix: float = 0.0,
+                    distill=None):
     """Returns jitted ``(train_state, images, labels) -> (train_state, metrics)``.
 
     ``images``: [B,H,W,C] uint8 (normalized on device) or float. ``labels``:
@@ -149,10 +158,21 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     ``mixup`` / ``cutmix`` (Beta alphas, 0 = off) blend batch pairs and
     mix the loss accordingly (``ops.augment.batch_mix``); mixing pairs
     span the whole batch, so they don't compose with ``grad_accum``.
+
+    ``distill``: ``(teacher_model, t_params, t_state, temperature, alpha)``
+    — knowledge distillation (Hinton et al. 2015). The teacher forward runs
+    eval-mode INSIDE the same compiled step on the same augmented/mixed
+    images; the loss becomes ``alpha*CE + (1-alpha)*T^2*KL`` (see
+    ``ops.losses.distillation_loss``). Teacher params ride as jit
+    arguments (never closure constants — they would fold into the HLO).
     """
     do_mix = mixup > 0.0 or cutmix > 0.0
     assert not (do_mix and grad_accum > 1), \
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
+    teacher = None
+    if distill is not None:
+        teacher, t_params0, t_state0, d_temp, d_alpha = distill
+        assert grad_accum == 1, "distillation is not wired into grad_accum"
     constrain = None
     if mesh is not None and grad_accum > 1:
         sp_ = "spatial" if "spatial" in mesh.axis_names else None
@@ -163,7 +183,7 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
             return (jax.lax.with_sharding_constraint(imgs, mb_img),
                     jax.lax.with_sharding_constraint(lbls, mb_lbl))
 
-    def step(ts: TrainState, images, labels):
+    def step(ts: TrainState, images, labels, t_params=None, t_state=None):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
         # disjoint streams: Sequential folds small layer indices into the
         # model key, so augmentation must come from a split, never fold_in
@@ -190,44 +210,74 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                                               mixup_alpha=mixup,
                                               cutmix_alpha=cutmix)
                 mix = (perm, lam)
+            dist = None
+            if teacher is not None:
+                t_logits, _, _ = teacher.apply(t_params, t_state, images,
+                                               train=False,
+                                               compute_dtype=compute_dtype)
+                dist = (t_logits.astype(jnp.float32), d_temp, d_alpha)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, rng, True,
-                compute_dtype, remat, label_smoothing, mix)
+                compute_dtype, remat, label_smoothing, mix, dist)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=donate_argnums)
+        jitted = jax.jit(step, donate_argnums=donate_argnums)
+    else:
+        # with a 'spatial' axis, activation ROWS shard too (the CNN analog of
+        # sequence parallelism); the SPMD partitioner inserts halo exchanges
+        # at shard boundaries for every conv/pool window that straddles them
+        sp = "spatial" if "spatial" in mesh.axis_names else None
+        image_sharding = NamedSharding(mesh, P("data", sp))
+        label_sharding = NamedSharding(mesh, P("data"))
 
-    # with a 'spatial' axis, activation ROWS shard too (the CNN analog of
-    # sequence parallelism); the SPMD partitioner inserts halo exchanges at
-    # shard boundaries for every conv/pool window that straddles them
-    sp = "spatial" if "spatial" in mesh.axis_names else None
-    image_sharding = NamedSharding(mesh, P("data", sp))
-    label_sharding = NamedSharding(mesh, P("data"))
+        def shard_step(ts, images, labels, t_params=None, t_state=None):
+            images = jax.lax.with_sharding_constraint(images, image_sharding)
+            labels = jax.lax.with_sharding_constraint(labels, label_sharding)
+            return step(ts, images, labels, t_params, t_state)
 
-    def shard_step(ts, images, labels):
-        images = jax.lax.with_sharding_constraint(images, image_sharding)
-        labels = jax.lax.with_sharding_constraint(labels, label_sharding)
-        return step(ts, images, labels)
+        jitted = jax.jit(shard_step, donate_argnums=donate_argnums)
+    if teacher is None:
+        return jitted
 
-    return jax.jit(shard_step, donate_argnums=donate_argnums)
+    def run(ts, images, labels):
+        return jitted(ts, images, labels, t_params0, t_state0)
+
+    return run
 
 
-def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None):
-    """Returns jitted ``(params, state, images, labels) -> metrics`` (train=False)."""
+def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
+                   tta: str = ""):
+    """Returns jitted ``(params, state, images, labels) -> metrics`` (train=False).
+
+    ``tta`` (test-time augmentation, superset — the reference evaluates the
+    raw image only, cnn.cpp:100-110): '' = off, 'hflip' = average class
+    probabilities over {identity, horizontal flip}, 'flips' = over all four
+    flip combinations (the reference augment policy's flip set,
+    pipeline.cpp:36-44). Probability averaging (not logit): the standard
+    ensemble rule, and what keeps the reported loss a true NLL.
+    """
+    views = {"": (lambda x: (x,)),
+             "hflip": (lambda x: (x, jnp.flip(x, axis=2))),
+             "flips": (lambda x: (x, jnp.flip(x, axis=2), jnp.flip(x, axis=1),
+                                  jnp.flip(x, axis=(1, 2))))}[tta]
 
     def step(params, state, images, labels):
         images = _prep(images, compute_dtype)
-        logits, _, _ = model.apply(params, state, images, train=False,
-                                   compute_dtype=compute_dtype)
-        logits = logits.astype(jnp.float32)
-        log_p = jax.nn.log_softmax(logits, axis=-1)
+        probs = None
+        for v in views(images):
+            logits, _, _ = model.apply(params, state, v, train=False,
+                                       compute_dtype=compute_dtype)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = p if probs is None else probs + p
+        probs = probs / len(views(images))
+        log_p = jnp.log(probs)
         nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.argmax(probs, axis=-1)
         return {"loss": jnp.mean(nll),
                 "correct": jnp.sum((pred == labels).astype(jnp.int32)),
                 "pred": pred}

@@ -187,6 +187,12 @@ def main(argv=None):
 
     compute_dtype = jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else None
     ts = create_train_state(model, opt, jax.random.key(train_cfg.seed))
+    if train_cfg.init_from:
+        from cnn_tpu.utils.checkpoint import warm_start
+        ts, copied, skipped = warm_start(ts, train_cfg.init_from, opt)
+        print(f"warm start from {train_cfg.init_from}: "
+              f"{len(copied)} tensors copied"
+              + (f", kept fresh: {', '.join(skipped)}" if skipped else ""))
     if pp_mesh is not None:
         from cnn_tpu.parallel import shard_pp_train_state
         ts = shard_pp_train_state(ts, pp_mesh, model)
@@ -240,6 +246,24 @@ def main(argv=None):
             print(f"augmentation: on-device '{data_cfg.augment_mode}' "
                   "(fused into the train step)")
 
+    distill = None
+    if train_cfg.distill_from:
+        # knowledge distillation: the teacher's eval-mode forward fuses
+        # into the compiled train step; EMA-trained teachers contribute
+        # their averaged weights
+        assert train_cfg.pipeline_stages <= 1, \
+            "--distill-from is not wired into the pipeline-parallel step"
+        t_name = train_cfg.distill_model or model_cfg.name
+        teacher = get_model(t_name, num_classes=model_cfg.num_classes,
+                            image_size=model_cfg.image_size)
+        t_ts = load_checkpoint(train_cfg.distill_from)
+        t_params = optim.ema_params(t_ts.opt_state)
+        t_params = t_ts.params if t_params is None else t_params
+        distill = (teacher, t_params, t_ts.state,
+                   train_cfg.distill_temp, train_cfg.distill_alpha)
+        print(f"distilling from {t_name} teacher {train_cfg.distill_from} "
+              f"(T={train_cfg.distill_temp}, alpha={train_cfg.distill_alpha})")
+
     device_train_ds = device_valid_ds = None
     if data_cfg.device_dataset:
         from cnn_tpu.data.device_dataset import (DeviceDataset,
@@ -261,7 +285,8 @@ def main(argv=None):
             sample_mode=data_cfg.sample_mode,
             steps_per_call=train_cfg.steps_per_call,
             grad_accum=train_cfg.grad_accum,
-            mixup=train_cfg.mixup, cutmix=train_cfg.cutmix)
+            mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
+            distill=distill)
     elif pp_mesh is not None:
         from cnn_tpu.parallel import make_pp_train_step
         step_fn = make_pp_train_step(
@@ -275,16 +300,18 @@ def main(argv=None):
                                   label_smoothing=train_cfg.label_smoothing,
                                   grad_accum=train_cfg.grad_accum,
                                   mixup=train_cfg.mixup,
-                                  cutmix=train_cfg.cutmix)
+                                  cutmix=train_cfg.cutmix,
+                                  distill=distill)
     if pp_mesh is not None:
         # M=1 for eval (bubble-only pipelining gains nothing there); the
         # eval step zero-pads ragged final validation batches internally
         from cnn_tpu.parallel import make_pp_eval_step
+        assert not train_cfg.tta, "--tta is not wired into the pipeline eval step"
         eval_fn = make_pp_eval_step(model, pp_mesh, n_microbatches=1,
                                     compute_dtype=compute_dtype)
     else:
         eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
-                                 mesh=mesh)
+                                 mesh=mesh, tta=train_cfg.tta)
 
     os.makedirs(train_cfg.checkpoint_dir, exist_ok=True)
     history = HistoryWriter(

@@ -115,6 +115,51 @@ def load_checkpoint(path: str, train_state=None):
     )
 
 
+def warm_start(train_state, path: str, optimizer=None):
+    """Transfer-learning init: copy into ``train_state`` every params/state
+    leaf of the checkpoint at ``path`` whose tree path exists here with an
+    identical shape; mismatched leaves (e.g. the classifier head when
+    ``num_classes`` differs) keep their fresh init. The optimizer state is
+    re-initialized from the merged params (pass ``optimizer``; EMA/momentum
+    slots must track the warmed weights, not the discarded fresh init) and
+    step/rng stay fresh — this is a NEW run warm-started from old weights,
+    not a resume. Returns ``(train_state, copied_paths, skipped_paths)``.
+
+    Superset: the reference has no transfer/fine-tune path — its loader
+    requires the identical topology (alexnet.cpp:80-90).
+    """
+    src = load_checkpoint(path)
+
+    def merge(fresh, loaded, prefix, copied, skipped):
+        if isinstance(fresh, dict):
+            if not isinstance(loaded, dict):
+                skipped.append(f"{prefix} (not a dict in source)")
+                return fresh
+            out = {}
+            for k, v in fresh.items():
+                if k in loaded:
+                    out[k] = merge(v, loaded[k], f"{prefix}/{k}", copied, skipped)
+                else:
+                    skipped.append(f"{prefix}/{k} (missing in source)")
+                    out[k] = v
+            return out
+        l_shape = getattr(loaded, "shape", None)
+        if l_shape == fresh.shape:
+            copied.append(prefix)
+            return jnp.asarray(loaded, fresh.dtype)
+        skipped.append(f"{prefix} (shape {l_shape} vs {fresh.shape})")
+        return fresh
+
+    copied, skipped = [], []
+    params = merge(train_state.params, src.params, "", copied, skipped)
+    state = merge(train_state.state, src.state, "", copied, skipped)
+    opt_state = (optimizer.init(params) if optimizer is not None
+                 else train_state.opt_state)
+    return (train_state._replace(params=params, state=state,
+                                 opt_state=opt_state),
+            copied, skipped)
+
+
 def checkpoint_name(iteration: int, train_acc: float, valid_acc: float,
                     suffix: str = ".ckpt") -> str:
     """Reference filename convention (cnn.cpp:121-124)."""

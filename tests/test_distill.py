@@ -1,0 +1,118 @@
+"""Knowledge distillation (ops.losses.distillation_loss + the distill
+hook in make_train_step / make_device_train_step).
+
+Superset: the reference trains on hard labels only
+(/root/reference/cpu/src/func.cpp:40-53); KD is the standard production
+compression recipe (big teacher -> small serving student).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_tpu import optim
+from cnn_tpu.models import get_model
+from cnn_tpu.ops.losses import distillation_loss, softmax_cross_entropy
+from cnn_tpu.parallel import create_train_state, make_train_step
+
+
+def test_distillation_loss_math():
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    T = 3.0
+    got = float(distillation_loss(s, t, T))
+    p_t = jax.nn.softmax(t / T, axis=-1)
+    want = float(T * T * jnp.mean(jnp.sum(
+        p_t * (jnp.log(p_t) - jax.nn.log_softmax(s / T, axis=-1)), axis=-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # KL(p||p) = 0: a student matching the teacher pays nothing
+    assert abs(float(distillation_loss(t, t, T))) < 1e-5
+
+
+def test_distillation_grad_ignores_teacher():
+    s = jnp.ones((2, 3))
+    t = jnp.asarray([[1.0, 2.0, 3.0], [0.0, 0.0, 5.0]])
+    g_t = jax.grad(lambda tt: distillation_loss(s, tt, 2.0))(t)
+    assert float(jnp.abs(g_t).max()) == 0.0  # stop_gradient on the teacher
+    g_s = jax.grad(lambda ss: distillation_loss(ss, t, 2.0))(s)
+    assert float(jnp.abs(g_s).max()) > 0.0
+
+
+def _teacher_and_data(num_classes=3, image_size=64):
+    teacher = get_model("resnet10", num_classes=num_classes,
+                        image_size=image_size)
+    t_opt = optim.make_optimizer("sgd", 1e-3)
+    t_ts = create_train_state(teacher, t_opt, jax.random.key(5))
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 255, (8, image_size, image_size, 3),
+                                    np.uint8))
+    labels = jnp.asarray(rng.integers(0, num_classes, (8,), np.int32))
+    return teacher, t_ts, imgs, labels
+
+
+def test_train_step_with_distillation_trains():
+    teacher, t_ts, imgs, labels = _teacher_and_data()
+    student = get_model("alexnet", num_classes=3, image_size=64)
+    opt = optim.make_optimizer("momentum", 1e-2, momentum=0.9)
+    ts = create_train_state(student, opt, jax.random.key(1))
+    step = make_train_step(
+        student, opt, donate=False,
+        distill=(teacher, t_ts.params, t_ts.state, 2.0, 0.5))
+    losses = []
+    for _ in range(5):
+        ts, m = step(ts, imgs, labels)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_distill_alpha_one_matches_plain_ce_loss():
+    """alpha=1 keeps only the CE term -> metrics equal the plain step's."""
+    teacher, t_ts, imgs, labels = _teacher_and_data()
+    student = get_model("alexnet", num_classes=3, image_size=64)
+    opt = optim.make_optimizer("sgd", 1e-3)
+    ts0 = create_train_state(student, opt, jax.random.key(1))
+    plain = make_train_step(student, opt, donate=False)
+    dist = make_train_step(
+        student, opt, donate=False,
+        distill=(teacher, t_ts.params, t_ts.state, 2.0, 1.0))
+    _, m_plain = plain(ts0, imgs, labels)
+    _, m_dist = dist(ts0, imgs, labels)
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_dist["loss"]),
+                               rtol=1e-6)
+
+
+def test_device_dataset_distillation(tmp_path):
+    """The device-resident path composes with distillation + steps_per_call."""
+    import cv2
+    from cnn_tpu.data.device_dataset import (DeviceDataset,
+                                             make_device_train_step)
+    rng = np.random.default_rng(3)
+    samples = []
+    for i in range(12):
+        p = str(tmp_path / f"s{i}.png")
+        cv2.imwrite(p, rng.integers(0, 255, (64, 64, 3), np.uint8))
+        samples.append((p, i % 3))
+    ds = DeviceDataset(samples, 64, 2)
+    teacher, t_ts, _, _ = _teacher_and_data()
+    student = get_model("alexnet", num_classes=3, image_size=64)
+    opt = optim.make_optimizer("sgd", 1e-2)
+    ts = create_train_state(student, opt, jax.random.key(4))
+    run = make_device_train_step(
+        student, opt, ds, 8, donate=False, steps_per_call=2,
+        distill=(teacher, t_ts.params, t_ts.state, 2.0, 0.5))
+    ts, m = run(ts)
+    assert int(ts.step) == 2
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_distill_grad_accum_rejected():
+    teacher, t_ts, _, _ = _teacher_and_data()
+    student = get_model("alexnet", num_classes=3, image_size=64)
+    opt = optim.make_optimizer("sgd", 1e-3)
+    with pytest.raises(AssertionError):
+        make_train_step(student, opt,
+                        distill=(teacher, t_ts.params, t_ts.state, 2.0, 0.5),
+                        grad_accum=2)
