@@ -116,3 +116,23 @@ def test_distill_grad_accum_rejected():
         make_train_step(student, opt,
                         distill=(teacher, t_ts.params, t_ts.state, 2.0, 0.5),
                         grad_accum=2)
+
+
+def test_distill_dp_mesh_matches_single_device():
+    """KD composes with the DP mesh: same inputs, same loss as unsharded."""
+    from cnn_tpu.parallel import make_mesh, shard_train_state
+    teacher, t_ts, imgs, labels = _teacher_and_data()
+    student = get_model("alexnet", num_classes=3, image_size=64)
+    opt = optim.make_optimizer("sgd", 1e-2)
+    ts = create_train_state(student, opt, jax.random.key(9))
+    dist = (teacher, t_ts.params, t_ts.state, 2.0, 0.5)
+    step1 = make_train_step(student, opt, donate=False, distill=dist)
+    _, m1 = step1(ts, imgs, labels)
+    mesh = make_mesh()
+    ts_sh = shard_train_state(ts, mesh, student)
+    step8 = make_train_step(student, opt, mesh=mesh, donate=False,
+                            distill=dist)
+    _, m8 = step8(ts_sh, imgs, labels)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-5)
+    assert int(m1["correct"]) == int(m8["correct"])
