@@ -97,6 +97,9 @@ class TrainConfig:
                                     # batch pairs + mixes the loss
     cutmix: float = 0.0             # CutMix Beta alpha (0 = off); both set
                                     # = pick one per step uniformly
+    freeze: str = ""                # comma-separated param-path prefixes to
+                                    # freeze (e.g. 'stem,block' = train the
+                                    # head only; compose with --init-from)
     distill_from: str = ""          # teacher .ckpt for knowledge distillation
                                     # (loss: alpha*CE + (1-alpha)*T^2*KL)
     distill_model: str = ""         # teacher family (default: same as --name)

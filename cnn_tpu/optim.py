@@ -78,6 +78,48 @@ def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
     return Optimizer(init, update)
 
 
+def with_frozen(opt: Optimizer, prefixes) -> Optimizer:
+    """Freeze every param whose '/'-joined tree path starts with one of
+    ``prefixes`` (e.g. ``("stem", "block_1")``) — head-only fine-tuning
+    on top of ``warm_start``. Gradients for frozen subtrees are zeroed
+    before the inner update AND the frozen leaves are restored after it,
+    so stateful transforms (momentum, weight decay's
+    ``add_decayed_weights``) can neither drift the weights nor pollute
+    their slots. Superset: the reference has no notion of per-layer
+    trainability (every layer self-updates in its own backward,
+    conv2d.cpp:205-217).
+    """
+    prefixes = tuple(p.strip() for p in prefixes if p.strip())
+    assert prefixes, "with_frozen needs at least one path prefix"
+
+    def frozen_map(fn, tree, *rest, path=""):
+        if isinstance(tree, dict):
+            return {k: frozen_map(fn, v, *(r[k] for r in rest),
+                                  path=f"{path}/{k}" if path else k)
+                    for k, v in tree.items()}
+        return fn(any(path.startswith(p) for p in prefixes), tree, *rest)
+
+    def init(params):
+        n = [0]
+
+        def count(is_frozen, _):
+            n[0] += is_frozen
+            return _
+        frozen_map(count, params)
+        assert n[0] > 0, f"--freeze {prefixes} matched no parameters"
+        return opt.init(params)
+
+    def update(grads, opt_state, params):
+        grads = frozen_map(
+            lambda f, g: jnp.zeros_like(g) if f else g, grads)
+        new_params, new_state = opt.update(grads, opt_state, params)
+        new_params = frozen_map(
+            lambda f, new, old: old if f else new, new_params, params)
+        return new_params, new_state
+
+    return Optimizer(init, update)
+
+
 def ema_params(opt_state) -> Any | None:
     """The EMA weights pytree if ``opt_state`` carries one, else None."""
     if isinstance(opt_state, EmaState):

@@ -144,6 +144,11 @@ def main(argv=None):
                                warmup_steps=train_cfg.warmup_steps,
                                weight_decay=train_cfg.weight_decay,
                                grad_clip=train_cfg.grad_clip)
+    if train_cfg.freeze:
+        # freeze subtrees by path prefix (head-only fine-tuning with
+        # --init-from); init asserts the prefixes match something
+        opt = optim.with_frozen(opt, train_cfg.freeze.split(","))
+        print(f"frozen param prefixes: {train_cfg.freeze}")
     if train_cfg.ema > 0.0:
         opt = optim.with_ema(opt, train_cfg.ema)
         print(f"weight EMA: decay {train_cfg.ema} "
