@@ -303,6 +303,11 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     teacher = t_params0 = t_state0 = None
     if distill is not None:
         teacher, t_params0, t_state0, d_temp, d_alpha = distill
+        if not isinstance(teacher, (list, tuple)):
+            teacher = [teacher]
+            t_params0, t_state0 = [t_params0], [t_state0]
+        teacher, t_params0, t_state0 = (list(teacher), list(t_params0),
+                                        list(t_state0))
         assert grad_accum == 1, "distillation is not wired into grad_accum"
     constrain = None
     if mesh is not None and grad_accum > 1:
@@ -355,10 +360,14 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 mix = (perm, lam)
             dist = None
             if teacher is not None:
-                t_logits, _, _ = teacher.apply(t_params, t_state, images,
-                                               train=False,
-                                               compute_dtype=compute_dtype)
-                dist = (t_logits.astype(jnp.float32), d_temp, d_alpha)
+                t_probs = None
+                for tm, tp, tsn in zip(teacher, t_params, t_state):
+                    tl, _, _ = tm.apply(tp, tsn, images, train=False,
+                                        compute_dtype=compute_dtype)
+                    p = jax.nn.softmax(tl.astype(jnp.float32) / d_temp,
+                                       axis=-1)
+                    t_probs = p if t_probs is None else t_probs + p
+                dist = (t_probs / len(teacher), d_temp, d_alpha)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, k_model, True,

@@ -63,3 +63,22 @@ def distillation_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
     kl = jnp.sum(p_t * (jax.nn.log_softmax(t, axis=-1)
                         - jax.nn.log_softmax(s, axis=-1)), axis=-1)
     return (temperature ** 2) * jnp.mean(kl)
+
+
+def distillation_loss_from_probs(student_logits: jnp.ndarray,
+                                 teacher_probs: jnp.ndarray,
+                                 temperature: float = 2.0) -> jnp.ndarray:
+    """KD term against pre-computed teacher probabilities at temperature
+    ``T`` — the multi-teacher form: average each teacher's
+    ``softmax(logits/T)`` FIRST (the ensemble's predictive distribution),
+    then distill against the mixture (Hinton et al. 2015, §7 uses exactly
+    this ensemble-mean target). ``distillation_loss`` is the one-teacher
+    special case.
+    """
+    p_t = jax.lax.stop_gradient(teacher_probs.astype(jnp.float32))
+    s = student_logits.astype(jnp.float32) / temperature
+    # KL(p_t || softmax(s)) up to the constant entropy of p_t — keep the
+    # full form so the reported loss is a true KL (zero when matched)
+    log_p_t = jnp.log(jnp.maximum(p_t, 1e-20))
+    kl = jnp.sum(p_t * (log_p_t - jax.nn.log_softmax(s, axis=-1)), axis=-1)
+    return (temperature ** 2) * jnp.mean(kl)

@@ -8,6 +8,7 @@ from cnn_tpu.parallel.pipeline import (  # noqa: F401
 from cnn_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,
+    make_ensemble_eval_step,
     make_eval_step,
     make_forward,
     make_train_step,

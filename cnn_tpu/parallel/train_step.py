@@ -69,13 +69,13 @@ def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
     else:
         loss = softmax_cross_entropy(logits, labels, label_smoothing)
     if distill is not None:
-        # knowledge distillation (ops.losses.distillation_loss): teacher
-        # logits are computed OUTSIDE this differentiated function on the
-        # same (augmented/mixed) images; alpha weights the hard-label term
-        from cnn_tpu.ops.losses import distillation_loss
-        t_logits, temp, alpha = distill
-        loss = alpha * loss + (1.0 - alpha) * distillation_loss(
-            logits, t_logits, temp)
+        # knowledge distillation: (mean) teacher probabilities at
+        # temperature T, computed OUTSIDE this differentiated function on
+        # the same (augmented/mixed) images; alpha weights the hard CE term
+        from cnn_tpu.ops.losses import distillation_loss_from_probs
+        t_probs, temp, alpha = distill
+        loss = alpha * loss + (1.0 - alpha) * distillation_loss_from_probs(
+            logits, t_probs, temp)
     correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
     return loss, (new_state, correct)
 
@@ -163,8 +163,10 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     — knowledge distillation (Hinton et al. 2015). The teacher forward runs
     eval-mode INSIDE the same compiled step on the same augmented/mixed
     images; the loss becomes ``alpha*CE + (1-alpha)*T^2*KL`` (see
-    ``ops.losses.distillation_loss``). Teacher params ride as jit
-    arguments (never closure constants — they would fold into the HLO).
+    ``ops.losses``). Teacher params ride as jit arguments (never closure
+    constants — they would fold into the HLO). The first three slots also
+    accept LISTS (multi-teacher ensemble distillation: the target is the
+    mean of the teachers' tempered softmaxes, Hinton §7).
     """
     do_mix = mixup > 0.0 or cutmix > 0.0
     assert not (do_mix and grad_accum > 1), \
@@ -172,6 +174,11 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     teacher = None
     if distill is not None:
         teacher, t_params0, t_state0, d_temp, d_alpha = distill
+        if not isinstance(teacher, (list, tuple)):
+            teacher = [teacher]
+            t_params0, t_state0 = [t_params0], [t_state0]
+        teacher, t_params0, t_state0 = (list(teacher), list(t_params0),
+                                        list(t_state0))
         assert grad_accum == 1, "distillation is not wired into grad_accum"
     constrain = None
     if mesh is not None and grad_accum > 1:
@@ -212,10 +219,14 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 mix = (perm, lam)
             dist = None
             if teacher is not None:
-                t_logits, _, _ = teacher.apply(t_params, t_state, images,
-                                               train=False,
-                                               compute_dtype=compute_dtype)
-                dist = (t_logits.astype(jnp.float32), d_temp, d_alpha)
+                t_probs = None
+                for tm, tp, tsn in zip(teacher, t_params, t_state):
+                    tl, _, _ = tm.apply(tp, tsn, images, train=False,
+                                        compute_dtype=compute_dtype)
+                    p = jax.nn.softmax(tl.astype(jnp.float32) / d_temp,
+                                       axis=-1)
+                    t_probs = p if t_probs is None else t_probs + p
+                dist = (t_probs / len(teacher), d_temp, d_alpha)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, rng, True,
@@ -250,6 +261,14 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     return run
 
 
+_TTA_VIEWS = {
+    "": (lambda x: (x,)),
+    "hflip": (lambda x: (x, jnp.flip(x, axis=2))),
+    "flips": (lambda x: (x, jnp.flip(x, axis=2), jnp.flip(x, axis=1),
+                         jnp.flip(x, axis=(1, 2)))),
+}
+
+
 def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
                    tta: str = ""):
     """Returns jitted ``(params, state, images, labels) -> metrics`` (train=False).
@@ -261,10 +280,7 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
     pipeline.cpp:36-44). Probability averaging (not logit): the standard
     ensemble rule, and what keeps the reported loss a true NLL.
     """
-    views = {"": (lambda x: (x,)),
-             "hflip": (lambda x: (x, jnp.flip(x, axis=2))),
-             "flips": (lambda x: (x, jnp.flip(x, axis=2), jnp.flip(x, axis=1),
-                                  jnp.flip(x, axis=(1, 2))))}[tta]
+    views = _TTA_VIEWS[tta]
 
     def step(params, state, images, labels):
         images = _prep(images, compute_dtype)
@@ -301,6 +317,37 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
         return out
 
     return jax.jit(shard_step)
+
+
+def make_ensemble_eval_step(models, *, compute_dtype=None, tta: str = ""):
+    """Eval step over a MODEL ensemble (possibly mixed families): class
+    probabilities average across every (model, TTA view) pair. Returns
+    jitted ``(params_list, state_list, images, labels) -> metrics`` — the
+    list pytrees ride as jit arguments. Superset: the reference has one
+    fixed model per binary (inference.cpp:32-35).
+    """
+    models = list(models)
+    views = _TTA_VIEWS[tta]
+
+    def step(params_list, state_list, images, labels):
+        images = _prep(images, compute_dtype)
+        probs, n = None, 0
+        for mdl, p, s in zip(models, params_list, state_list):
+            for v in views(images):
+                logits, _, _ = mdl.apply(p, s, v, train=False,
+                                         compute_dtype=compute_dtype)
+                pr = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs = pr if probs is None else probs + pr
+                n += 1
+        probs = probs / n
+        log_p = jnp.log(probs)
+        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+        pred = jnp.argmax(probs, axis=-1)
+        return {"loss": jnp.mean(nll),
+                "correct": jnp.sum((pred == labels).astype(jnp.int32)),
+                "pred": pred}
+
+    return jax.jit(step)
 
 
 def make_forward(model, *, compute_dtype=None):

@@ -33,10 +33,15 @@ def main(argv=None):
     import argparse
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--split", default="both", choices=("valid", "test", "both"))
+    pre.add_argument("--ensemble", default="",
+                     help="name:ckpt[,name:ckpt...] — average class "
+                          "probabilities across models (mixed families ok); "
+                          "replaces --resume/--name")
     pre_ns, rest = pre.parse_known_args(argv if argv is not None
                                         else sys.argv[1:])
     model_cfg, data_cfg, train_cfg, _ = parse_configs(rest, "cnn_tpu evaluate")
-    if not train_cfg.resume or not os.path.exists(train_cfg.resume):
+    if not pre_ns.ensemble and (not train_cfg.resume
+                                or not os.path.exists(train_cfg.resume)):
         print(f"--resume must point at a checkpoint (got '{train_cfg.resume}')",
               file=sys.stderr)
         return 2
@@ -49,25 +54,48 @@ def main(argv=None):
     samples = discover_dataset(data_cfg.dataset_path, data_cfg.categories)
     splits = split_dataset(samples, data_cfg.train_ratio, data_cfg.test_ratio,
                            data_cfg.split_seed)
-    model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
-                      image_size=model_cfg.image_size,
-                      batch_norm=model_cfg.batch_norm,
-                      dropout=model_cfg.dropout)
-
-    ts = load_checkpoint(train_cfg.resume)
-    params = optim.ema_params(ts.opt_state)
-    if params is not None:
-        print("checkpoint carries weight-EMA state: evaluating averaged weights")
-    else:
-        params = ts.params
 
     import jax.numpy as jnp
     compute_dtype = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
                      else None)
-    eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
-                             tta=train_cfg.tta)
-    if train_cfg.tta:
-        print(f"test-time augmentation: {train_cfg.tta}")
+
+    def load_params(path):
+        ts = load_checkpoint(path)
+        p = optim.ema_params(ts.opt_state)
+        if p is not None:
+            print(f"{path}: evaluating the EMA-averaged weights")
+            return p, ts.state
+        return ts.params, ts.state
+
+    if pre_ns.ensemble:
+        from cnn_tpu.parallel import make_ensemble_eval_step
+        models, params, state = [], [], []
+        for spec in pre_ns.ensemble.split(","):
+            name, _, ck = spec.partition(":")
+            assert ck, f"--ensemble spec '{spec}' must be name:ckpt"
+            # members share the global --batch-norm flag (resnet/moecnn
+            # carry BN intrinsically and ignore it; mixed BN/non-BN
+            # AlexNet/VGG ensembles are not supported)
+            models.append(get_model(name, num_classes=model_cfg.num_classes,
+                                    image_size=model_cfg.image_size,
+                                    batch_norm=model_cfg.batch_norm))
+            p, s = load_params(ck)
+            params.append(p)
+            state.append(s)
+        eval_fn = make_ensemble_eval_step(models, compute_dtype=compute_dtype,
+                                          tta=train_cfg.tta)
+        print(f"ensemble of {len(models)} models"
+              + (f", TTA {train_cfg.tta}" if train_cfg.tta else ""))
+    else:
+        model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
+                          image_size=model_cfg.image_size,
+                          batch_norm=model_cfg.batch_norm,
+                          dropout=model_cfg.dropout)
+        params, state = load_params(train_cfg.resume)
+        eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
+                                 tta=train_cfg.tta)
+        if train_cfg.tta:
+            print(f"test-time augmentation: {train_cfg.tta}")
 
     from cnn_tpu.tools.train import evaluate
     want = ("valid", "test") if pre_ns.split == "both" else (pre_ns.split,)
@@ -76,7 +104,7 @@ def main(argv=None):
                             augment=False, shuffle=False,
                             image_size=data_cfg.image_size)
         confusion = ConfusionMatrix(model_cfg.num_classes)
-        loss, acc = evaluate(eval_fn, params, ts.state, loader, confusion)
+        loss, acc = evaluate(eval_fn, params, state, loader, confusion)
         print(f"{split.capitalize()}===> [loss {loss:.3f}] [Accuracy {acc:.3f}]")
         print("confusion matrix (rows = truth):")
         print(confusion.pretty(list(data_cfg.categories)))

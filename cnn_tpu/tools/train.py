@@ -258,15 +258,31 @@ def main(argv=None):
         # their averaged weights
         assert train_cfg.pipeline_stages <= 1, \
             "--distill-from is not wired into the pipeline-parallel step"
-        t_name = train_cfg.distill_model or model_cfg.name
-        teacher = get_model(t_name, num_classes=model_cfg.num_classes,
-                            image_size=model_cfg.image_size)
-        t_ts = load_checkpoint(train_cfg.distill_from)
-        t_params = optim.ema_params(t_ts.opt_state)
-        t_params = t_ts.params if t_params is None else t_params
-        distill = (teacher, t_params, t_ts.state,
+        # comma-separated lists = ensemble distillation (the target is the
+        # mean of the teachers' tempered softmaxes)
+        t_ckpts = [c for c in train_cfg.distill_from.split(",") if c]
+        t_names = ([n for n in train_cfg.distill_model.split(",") if n]
+                   or [model_cfg.name])
+        if len(t_names) == 1:
+            t_names = t_names * len(t_ckpts)
+        assert len(t_names) == len(t_ckpts), \
+            "--distill-model must list one family (shared) or one per ckpt"
+        teachers, t_params, t_states = [], [], []
+        for t_name, ck in zip(t_names, t_ckpts):
+            # teachers may carry BN even when the student doesn't; every
+            # committed teacher family is BN-bearing, so default true
+            teachers.append(get_model(t_name,
+                                      num_classes=model_cfg.num_classes,
+                                      image_size=model_cfg.image_size,
+                                      batch_norm=True))
+            t_ts = load_checkpoint(ck)
+            p = optim.ema_params(t_ts.opt_state)
+            t_params.append(t_ts.params if p is None else p)
+            t_states.append(t_ts.state)
+        distill = (teachers, t_params, t_states,
                    train_cfg.distill_temp, train_cfg.distill_alpha)
-        print(f"distilling from {t_name} teacher {train_cfg.distill_from} "
+        print(f"distilling from {len(teachers)} teacher(s) "
+              f"{list(zip(t_names, t_ckpts))} "
               f"(T={train_cfg.distill_temp}, alpha={train_cfg.distill_alpha})")
 
     device_train_ds = device_valid_ds = None

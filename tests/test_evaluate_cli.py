@@ -68,3 +68,22 @@ def test_train_cli_init_from(tiny_ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "warm start from" in out
     assert "kept fresh" in out and "linear_1" in out
+
+
+def test_evaluate_cli_ensemble(tiny_ckpt, capsys):
+    """Two-member ensemble (same ckpt twice): runs, prints, and agrees
+    with the single-model eval (mean of identical prob sets)."""
+    from cnn_tpu.tools import evaluate
+    rc = evaluate.main(["--resume", tiny_ckpt, "--split", "valid",
+                        "--image-size", "64", "--valid-batch-size", "64"])
+    assert rc == 0
+    single = capsys.readouterr().out
+    rc = evaluate.main(["--ensemble",
+                        f"alexnet:{tiny_ckpt},alexnet:{tiny_ckpt}",
+                        "--split", "valid",
+                        "--image-size", "64", "--valid-batch-size", "64"])
+    assert rc == 0
+    ens = capsys.readouterr().out
+    assert "ensemble of 2 models" in ens
+    line = [l for l in single.splitlines() if "Valid===>" in l][0]
+    assert line in ens  # identical members -> identical metrics
