@@ -57,6 +57,10 @@ class DataConfig:
     device_dataset: bool = False  # pin the whole dataset in HBM; sample batches
                                   # on-device (zero steady-state host traffic)
     augment_mode: str = "fast"  # 'fast' (flips+crop, gather-free) | 'full' (+rotate)
+    color_jitter: float = 0.0   # device-augment superset: per-sample
+                                # brightness/contrast/saturation jitter
+                                # strength (0 = off; geometric-only matches
+                                # the reference policy)
     sample_mode: str = "local"  # device-dataset batch sampling: 'local'/'global'
                                 # uniform-with-replacement; 'epoch' = every
                                 # sample exactly once per epoch (the reference's

@@ -382,3 +382,30 @@ def batch_mix(rng: jax.Array, images: jnp.ndarray,
     assert mixup_alpha > 0.0, "batch_mix needs mixup_alpha or cutmix_alpha"
     mixed, lam = _mixup()
     return mixed, perm, lam
+
+
+def color_jitter(rng: jax.Array, images: jnp.ndarray,
+                 strength: float = 0.2) -> jnp.ndarray:
+    """Per-sample brightness / contrast / saturation jitter on NORMALIZED
+    float images (post-resample, values ~[0,1]). Superset — the
+    reference's augmentor is geometric only (pipeline.h:24-38).
+
+    brightness: add U(-s, s); contrast: scale around the per-image mean by
+    U(1-s, 1+s); saturation: lerp toward the per-pixel channel mean (the
+    grayscale image in whatever channel order) by U(1-s, 1+s). All three
+    are elementwise FMAs that XLA fuses into the augmentation epilogue —
+    zero extra memory passes. Output clipped to [0, 1].
+    """
+    b = images.shape[0]
+    k_b, k_c, k_s = jax.random.split(rng, 3)
+    shape = (b, 1, 1, 1)
+    dt = images.dtype
+    bright = jax.random.uniform(k_b, shape, dt, -strength, strength)
+    contrast = jax.random.uniform(k_c, shape, dt, 1.0 - strength,
+                                  1.0 + strength)
+    sat = jax.random.uniform(k_s, shape, dt, 1.0 - strength, 1.0 + strength)
+    gray = jnp.mean(images, axis=-1, keepdims=True)
+    x = gray + sat * (images - gray)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = mean + contrast * (x - mean) + bright
+    return jnp.clip(x, 0.0, 1.0)

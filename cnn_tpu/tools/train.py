@@ -246,10 +246,17 @@ def main(argv=None):
                 # augment in the compute dtype: the 8-bit-mantissa loss is
                 # below the uint8 input quantization, and the shear/resize
                 # passes are bandwidth-bound (2x faster in bf16)
-                return aug(rng, images, out_size=data_cfg.image_size,
-                           dtype=compute_dtype or jnp.float32)
+                k_geo, k_col = jax.random.split(rng)
+                x = aug(k_geo, images, out_size=data_cfg.image_size,
+                        dtype=compute_dtype or jnp.float32)
+                if data_cfg.color_jitter > 0.0:
+                    from cnn_tpu.ops.augment import color_jitter
+                    x = color_jitter(k_col, x, data_cfg.color_jitter)
+                return x
             print(f"augmentation: on-device '{data_cfg.augment_mode}' "
-                  "(fused into the train step)")
+                  + (f"+ color jitter {data_cfg.color_jitter} "
+                     if data_cfg.color_jitter > 0.0 else "")
+                  + "(fused into the train step)")
 
     distill = None
     if train_cfg.distill_from:
