@@ -28,6 +28,21 @@ PEAK_BF16_FLOPS = {
 }
 
 
+def enable_compile_cache():
+    """Point jax at the repo's persistent compilation cache. Shared by the
+    bench tools (tools/bench_deep_mfu.py, tools/bench_bn_ablate.py) — the
+    deep-trunk programs compile in minutes on the remote helper; re-runs
+    with unchanged HLO hit the cache."""
+    import os
+
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def peak_bf16_flops() -> float:
     """This chip's bf16 peak (197e12 fallback for unknown kinds)."""
     import jax
@@ -278,20 +293,45 @@ def check_parity() -> float | None:
     return worst
 
 
+def _backend_watchdog(timeout_s: float = 2700.0):
+    """Bound the first backend touch. A down/wedged TPU tunnel blocks
+    ``make_c_api_client`` indefinitely (the next client waits until the
+    server releases a dead client's device context — can exceed 30 min);
+    a bench that hangs forever is strictly worse for the driver than one
+    JSON error line. The watchdog is disarmed once the backend is up."""
+    import threading
+
+    armed = threading.Event()
+    armed.set()
+
+    def _fire():
+        if armed.is_set():
+            import os
+            print(json.dumps({
+                "metric": "train_images_per_sec_per_chip", "value": 0.0,
+                "unit": "images/sec", "vs_baseline": 0.0,
+                "error": f"TPU backend init did not complete within "
+                         f"{timeout_s:.0f}s (tunnel down or wedged)"}),
+                flush=True)
+            os._exit(3)
+
+    t = threading.Timer(timeout_s, _fire)
+    t.daemon = True
+    t.start()
+    return armed
+
+
 def main():
     import os
 
     import jax
 
-    # persistent compile cache: the deep-trunk programs compile in minutes
-    # on the remote helper; driver re-runs hit the cache
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
 
+    watchdog = _backend_watchdog()
     backend = jax.default_backend()
+    jax.devices()
+    watchdog.clear()  # backend is up; disarm
     bf16 = measure_train(__import__("jax.numpy", fromlist=["bfloat16"]).bfloat16,
                          batch_size=1024)
     # the space-to-depth conv1 experiment (VERDICT r2 item 1): measured

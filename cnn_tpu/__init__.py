@@ -18,4 +18,20 @@ single-threaded reference) is introduced natively via ``jax.sharding`` meshes.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # This environment's sitecustomize registers the TPU backend at
+    # interpreter startup and force-sets jax_platforms="axon,cpu", silently
+    # overriding the JAX_PLATFORMS env var for every child process. Re-assert
+    # a CPU-forcing env var here so spawned CLIs (the test suite launches
+    # `python -m cnn_tpu.tools.train` with JAX_PLATFORMS=cpu) actually run on
+    # CPU — otherwise the first backend touch still initializes the TPU
+    # client and can block indefinitely inside make_c_api_client when the
+    # device is busy or the tunnel is down.
+    import jax as _jax
+
+    if _jax.config.jax_platforms != "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+
 from cnn_tpu.core.config import DataConfig, ModelConfig, TrainConfig  # noqa: F401

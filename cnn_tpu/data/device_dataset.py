@@ -143,9 +143,14 @@ def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool):
     """
     g = step * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
     e, pos = g // n, g % n
+    # dedicated stream: the caller passes the SESSION key (the permutation
+    # must be constant within an epoch), and the train step derives its
+    # per-step keys as fold_in(session, step) — so folding the raw epoch id
+    # here would collide with step==epoch_id's key. Tag the stream first.
+    epoch_stream = jax.random.fold_in(base_key, 0x45504F43)  # "EPOC"
 
     def perm(eid):
-        k = jax.random.fold_in(base_key, jnp.where(fixed, 0, eid))
+        k = jax.random.fold_in(epoch_stream, jnp.where(fixed, 0, eid))
         return jax.random.permutation(k, n)
 
     p0, p1 = perm(e[0]), perm(e[0] + 1)
@@ -292,7 +297,9 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     Teacher params ride as jit arguments like the resident dataset does.
     """
     from cnn_tpu.parallel.train_step import (TrainState, _loss_fn,
-                                             accumulate_grads)
+                                             accumulate_grads,
+                                             mix_and_teacher_targets,
+                                             normalize_distill)
     from cnn_tpu.ops.preprocess import uint8_to_float
 
     if mesh is not None:
@@ -300,15 +307,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     do_mix = mixup > 0.0 or cutmix > 0.0
     assert not (do_mix and grad_accum > 1), \
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
-    teacher = t_params0 = t_state0 = None
-    if distill is not None:
-        teacher, t_params0, t_state0, d_temp, d_alpha = distill
-        if not isinstance(teacher, (list, tuple)):
-            teacher = [teacher]
-            t_params0, t_state0 = [t_params0], [t_state0]
-        teacher, t_params0, t_state0 = (list(teacher), list(t_params0),
-                                        list(t_state0))
-        assert grad_accum == 1, "distillation is not wired into grad_accum"
+    dst = normalize_distill(distill, grad_accum=grad_accum)
+    t_params0, t_state0 = (dst[1], dst[2]) if dst else (None, None)
     constrain = None
     if mesh is not None and grad_accum > 1:
         mb_img = NamedSharding(mesh, P(None, "data"))
@@ -350,24 +350,10 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 label_smoothing=label_smoothing, constrain=constrain)
         else:
-            mix = None
-            if do_mix:
-                from cnn_tpu.ops.augment import batch_mix
-                k_model, k_mix = jax.random.split(k_model)
-                images, perm, lam = batch_mix(k_mix, images,
-                                              mixup_alpha=mixup,
-                                              cutmix_alpha=cutmix)
-                mix = (perm, lam)
-            dist = None
-            if teacher is not None:
-                t_probs = None
-                for tm, tp, tsn in zip(teacher, t_params, t_state):
-                    tl, _, _ = tm.apply(tp, tsn, images, train=False,
-                                        compute_dtype=compute_dtype)
-                    p = jax.nn.softmax(tl.astype(jnp.float32) / d_temp,
-                                       axis=-1)
-                    t_probs = p if t_probs is None else t_probs + p
-                dist = (t_probs / len(teacher), d_temp, d_alpha)
+            k_model, images, mix, dist = mix_and_teacher_targets(
+                k_model, images, mixup=mixup, cutmix=cutmix, distill=dst,
+                t_params=t_params, t_state=t_state,
+                compute_dtype=compute_dtype)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, k_model, True,

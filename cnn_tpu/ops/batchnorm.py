@@ -61,7 +61,11 @@ def batch_norm2d(params: dict, state: dict, x: jnp.ndarray, *,
         # whole activation for the centered-square pass); biased variance
         # (divides by N), as the reference does
         mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+        # clamp at 0: unlike the two-pass form, E[x^2]-E[x]^2 can go
+        # (slightly) negative from f32 cancellation on a near-constant
+        # channel with |mean| >> std, and sqrt(var+eps) would then be NaN
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean), 0.0)
         # [C]-sized stats are named saveable for selective remat
         # (StackedBlocks remat='conv'): costing bytes, they spare the
         # backward pass a full re-reduction over every conv output

@@ -120,6 +120,14 @@ def conv2d_s2d(params: dict, x: jnp.ndarray, stride: int = 2,
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
     )
+    # slice to the direct conv's floor extents (conv2d.cpp:41-42): for even
+    # kernels on odd input extents the s2d bottom/right zero row is NOT
+    # masked by zero weight taps (pad = K*b-k = 0) and would otherwise
+    # contribute one extra, synthetic output row/col
+    k = w.shape[0]
+    oh = (x.shape[1] - k) // 2 + 1
+    ow = (x.shape[2] - k) // 2 + 1
+    out = out[:, :oh, :ow, :]
     return checkpoint_name(out + b.astype(out.dtype), "conv_out")
 
 

@@ -135,6 +135,55 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     return grads, new_state, lsum / K, csum
 
 
+def normalize_distill(distill, *, grad_accum: int = 1):
+    """Canonicalize a ``distill`` spec to list form.
+
+    ``distill`` is ``(teacher_model(s), t_params, t_state, T, alpha)`` with
+    the first three slots either scalars or lists (ensemble distillation).
+    Returns ``(teachers, t_params, t_states, T, alpha)`` with list slots, or
+    None. Shared by make_train_step and the device-resident step
+    (data/device_dataset.py) so the two paths cannot diverge.
+    """
+    if distill is None:
+        return None
+    teacher, t_params0, t_state0, d_temp, d_alpha = distill
+    if not isinstance(teacher, (list, tuple)):
+        teacher = [teacher]
+        t_params0, t_state0 = [t_params0], [t_state0]
+    assert grad_accum == 1, "distillation is not wired into grad_accum"
+    return (list(teacher), list(t_params0), list(t_state0), d_temp, d_alpha)
+
+
+def mix_and_teacher_targets(rng, images, *, mixup, cutmix, distill,
+                            t_params, t_state, compute_dtype):
+    """Shared step-body half: batch mixing + distillation soft targets.
+
+    ``distill`` is a normalize_distill result (or None); ``t_params`` /
+    ``t_state`` are the live jit-argument values for the teachers' params.
+    Returns ``(rng, images, mix, dist)`` where ``mix=(perm, lam)`` when
+    mixing is on and ``dist=(teacher_probs, T, alpha)`` when distilling —
+    the trailing arguments of ``_loss_fn``.
+    """
+    mix = None
+    if mixup > 0.0 or cutmix > 0.0:
+        rng, mix_rng = jax.random.split(rng)
+        from cnn_tpu.ops.augment import batch_mix
+        images, perm, lam = batch_mix(mix_rng, images,
+                                      mixup_alpha=mixup, cutmix_alpha=cutmix)
+        mix = (perm, lam)
+    dist = None
+    if distill is not None:
+        teachers, _, _, d_temp, d_alpha = distill
+        t_probs = None
+        for tm, tp, tsn in zip(teachers, t_params, t_state):
+            tl, _, _ = tm.apply(tp, tsn, images, train=False,
+                                compute_dtype=compute_dtype)
+            p = jax.nn.softmax(tl.astype(jnp.float32) / d_temp, axis=-1)
+            t_probs = p if t_probs is None else t_probs + p
+        dist = (t_probs / len(teachers), d_temp, d_alpha)
+    return rng, images, mix, dist
+
+
 def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                     mesh: Optional[Mesh] = None, donate: bool = True,
                     augment_fn=None, remat: bool = False,
@@ -171,15 +220,8 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     do_mix = mixup > 0.0 or cutmix > 0.0
     assert not (do_mix and grad_accum > 1), \
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
-    teacher = None
-    if distill is not None:
-        teacher, t_params0, t_state0, d_temp, d_alpha = distill
-        if not isinstance(teacher, (list, tuple)):
-            teacher = [teacher]
-            t_params0, t_state0 = [t_params0], [t_state0]
-        teacher, t_params0, t_state0 = (list(teacher), list(t_params0),
-                                        list(t_state0))
-        assert grad_accum == 1, "distillation is not wired into grad_accum"
+    dst = normalize_distill(distill, grad_accum=grad_accum)
+    teacher, t_params0, t_state0 = (dst[:3] if dst else (None, None, None))
     constrain = None
     if mesh is not None and grad_accum > 1:
         sp_ = "spatial" if "spatial" in mesh.axis_names else None
@@ -209,24 +251,10 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 remat=remat, label_smoothing=label_smoothing,
                 constrain=constrain)
         else:
-            mix = None
-            if do_mix:
-                rng, mix_rng = jax.random.split(rng)
-                from cnn_tpu.ops.augment import batch_mix
-                images, perm, lam = batch_mix(mix_rng, images,
-                                              mixup_alpha=mixup,
-                                              cutmix_alpha=cutmix)
-                mix = (perm, lam)
-            dist = None
-            if teacher is not None:
-                t_probs = None
-                for tm, tp, tsn in zip(teacher, t_params, t_state):
-                    tl, _, _ = tm.apply(tp, tsn, images, train=False,
-                                        compute_dtype=compute_dtype)
-                    p = jax.nn.softmax(tl.astype(jnp.float32) / d_temp,
-                                       axis=-1)
-                    t_probs = p if t_probs is None else t_probs + p
-                dist = (t_probs / len(teacher), d_temp, d_alpha)
+            rng, images, mix, dist = mix_and_teacher_targets(
+                rng, images, mixup=mixup, cutmix=cutmix, distill=dst,
+                t_params=t_params, t_state=t_state,
+                compute_dtype=compute_dtype)
             grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
             (loss, (new_state, correct)), grads = grad_fn(
                 ts.params, ts.state, model, images, labels, rng, True,
@@ -284,16 +312,19 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
 
     def step(params, state, images, labels):
         images = _prep(images, compute_dtype)
-        probs = None
+        log_ps = []
         for v in views(images):
             logits, _, _ = model.apply(params, state, v, train=False,
                                        compute_dtype=compute_dtype)
-            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            probs = p if probs is None else probs + p
-        probs = probs / len(views(images))
-        log_p = jnp.log(probs)
+            log_ps.append(jax.nn.log_softmax(logits.astype(jnp.float32),
+                                             axis=-1))
+        # average class PROBABILITIES, computed in log space:
+        # log(mean_i p_i) = logsumexp_i(log p_i) - log(n). Stable for
+        # confidently-wrong samples where softmax underflows to 0.
+        log_p = (jax.scipy.special.logsumexp(jnp.stack(log_ps), axis=0)
+                 - jnp.log(len(log_ps)))
         nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(probs, axis=-1)
+        pred = jnp.argmax(log_p, axis=-1)
         return {"loss": jnp.mean(nll),
                 "correct": jnp.sum((pred == labels).astype(jnp.int32)),
                 "pred": pred}
@@ -331,18 +362,18 @@ def make_ensemble_eval_step(models, *, compute_dtype=None, tta: str = ""):
 
     def step(params_list, state_list, images, labels):
         images = _prep(images, compute_dtype)
-        probs, n = None, 0
+        log_ps = []
         for mdl, p, s in zip(models, params_list, state_list):
             for v in views(images):
                 logits, _, _ = mdl.apply(p, s, v, train=False,
                                          compute_dtype=compute_dtype)
-                pr = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                probs = pr if probs is None else probs + pr
-                n += 1
-        probs = probs / n
-        log_p = jnp.log(probs)
+                log_ps.append(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1))
+        # log-space probability averaging; see make_eval_step
+        log_p = (jax.scipy.special.logsumexp(jnp.stack(log_ps), axis=0)
+                 - jnp.log(len(log_ps)))
         nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(probs, axis=-1)
+        pred = jnp.argmax(log_p, axis=-1)
         return {"loss": jnp.mean(nll),
                 "correct": jnp.sum((pred == labels).astype(jnp.int32)),
                 "pred": pred}

@@ -67,19 +67,22 @@ def main(argv=None):
             return p, ts.state
         return ts.params, ts.state
 
+    from cnn_tpu.tools.train import _tree_has_bn
+
     if pre_ns.ensemble:
         from cnn_tpu.parallel import make_ensemble_eval_step
         models, params, state = [], [], []
         for spec in pre_ns.ensemble.split(","):
             name, _, ck = spec.partition(":")
             assert ck, f"--ensemble spec '{spec}' must be name:ckpt"
-            # members share the global --batch-norm flag (resnet/moecnn
-            # carry BN intrinsically and ignore it; mixed BN/non-BN
-            # AlexNet/VGG ensembles are not supported)
+            p, s = load_params(ck)
+            # BN-ness is a property of each member's CHECKPOINT, not of a
+            # shared CLI flag: a BN param tree loaded into a BN-free model
+            # would silently drop the bn_* subtrees (Sequential ignores
+            # unknown keys) and evaluate garbage
             models.append(get_model(name, num_classes=model_cfg.num_classes,
                                     image_size=model_cfg.image_size,
-                                    batch_norm=model_cfg.batch_norm))
-            p, s = load_params(ck)
+                                    batch_norm=_tree_has_bn(p)))
             params.append(p)
             state.append(s)
         eval_fn = make_ensemble_eval_step(models, compute_dtype=compute_dtype,
@@ -87,11 +90,13 @@ def main(argv=None):
         print(f"ensemble of {len(models)} models"
               + (f", TTA {train_cfg.tta}" if train_cfg.tta else ""))
     else:
+        params, state = load_params(train_cfg.resume)
+        # same auto-detection as the ensemble branch: the checkpoint wins
+        # over the --batch-norm flag (which defaults false)
         model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                           image_size=model_cfg.image_size,
-                          batch_norm=model_cfg.batch_norm,
+                          batch_norm=_tree_has_bn(params),
                           dropout=model_cfg.dropout)
-        params, state = load_params(train_cfg.resume)
         eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
                                  tta=train_cfg.tta)
         if train_cfg.tta:

@@ -34,6 +34,15 @@ from cnn_tpu.utils.metrics import (ClassificationEvaluator, ConfusionMatrix,
 from cnn_tpu.utils.profiling import StepTimer, trace
 
 
+def _tree_has_bn(tree) -> bool:
+    """True if any dict key at any level names a BatchNorm layer ('*bn*' —
+    bn_1, stem_bn, shortcut_bn ...). Used to detect whether a teacher
+    checkpoint was trained with BN without requiring a CLI flag."""
+    if isinstance(tree, dict):
+        return any(("bn" in str(k)) or _tree_has_bn(v) for k, v in tree.items())
+    return False
+
+
 def evaluate(eval_step, params, state, loader,
              confusion: ConfusionMatrix | None = None) -> tuple[float, float]:
     """Mean loss + accuracy over one epoch of ``loader``."""
@@ -61,8 +70,6 @@ def evaluate_device(eval_step, params, state, device_ds,
 
 
 def main(argv=None):
-    model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
-
     # Preemption safety: TPU pools reclaim nodes with SIGTERM. Convert it
     # into a request for a clean stop instead of dying mid-step; the train
     # loop then checkpoints and exits 0, and a relaunch with --resume auto
@@ -72,13 +79,30 @@ def main(argv=None):
     # Multi-host: a one-sided break would desynchronize the collective step
     # schedule and hang the pod, so the flag is allgathered at validation
     # boundaries (already a sync point) and every process stops together.
+    # Previous handlers are RESTORED on exit: in-process callers (the test
+    # suite, notebooks) must not be left with a handler that appends to a
+    # dead list — their own SIGTERM would be silently swallowed.
     preempted = []
     import signal as _signal
+    prev_handlers = {}
     for _sig in (_signal.SIGTERM, _signal.SIGUSR1):
         try:
-            _signal.signal(_sig, lambda *_: preempted.append(True))
+            prev_handlers[_sig] = _signal.signal(
+                _sig, lambda *_: preempted.append(True))
         except (ValueError, OSError):  # non-main thread / platform quirk
             pass
+    try:
+        return _main(argv, preempted)
+    finally:
+        for _sig, _h in prev_handlers.items():
+            try:
+                _signal.signal(_sig, _h)
+            except (ValueError, OSError):
+                pass
+
+
+def _main(argv, preempted):
+    model_cfg, data_cfg, train_cfg, ns = parse_configs(argv, "cnn_tpu train")
 
     if train_cfg.compile_cache:
         # persistent compilation cache: the big remat'd-scan programs
@@ -131,6 +155,10 @@ def main(argv=None):
                                   image_size=data_cfg.image_size,
                                   backend=data_cfg.backend, cache=data_cfg.cache)
 
+    if model_cfg.space_to_depth and model_cfg.name != "alexnet":
+        sys.exit(f"--space-to-depth applies to the AlexNet family only "
+                 f"(its small-Cin stride-2 conv1); --name {model_cfg.name} "
+                 f"does not accept it")
     model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                       batch_norm=model_cfg.batch_norm,
                       dropout=model_cfg.dropout,
@@ -237,6 +265,12 @@ def main(argv=None):
                 f"an explicit --resume path present on every host")
 
     augment_fn = None
+    if data_cfg.color_jitter > 0.0 and not (
+            (device_augment or data_cfg.device_dataset) and data_cfg.augment):
+        sys.exit("--color-jitter is applied by the device-side augmentation "
+                 "pipeline; it needs --augment true plus --device-augment "
+                 "or --device-dataset (on the host-loader path it would "
+                 "silently do nothing)")
     if device_augment or data_cfg.device_dataset:
         from cnn_tpu.ops.augment import augment_batch, augment_batch_fast
         aug = augment_batch_fast if data_cfg.augment_mode == "fast" else augment_batch
@@ -276,16 +310,17 @@ def main(argv=None):
             "--distill-model must list one family (shared) or one per ckpt"
         teachers, t_params, t_states = [], [], []
         for t_name, ck in zip(t_names, t_ckpts):
-            # teachers may carry BN even when the student doesn't; every
-            # committed teacher family is BN-bearing, so default true
-            teachers.append(get_model(t_name,
-                                      num_classes=model_cfg.num_classes,
-                                      image_size=model_cfg.image_size,
-                                      batch_norm=True))
             t_ts = load_checkpoint(ck)
             p = optim.ema_params(t_ts.opt_state)
             t_params.append(t_ts.params if p is None else p)
             t_states.append(t_ts.state)
+            # the teacher's BN-ness is a property of its checkpoint, not of
+            # the student config: detect it from the saved param tree (BN
+            # layers are named 'bn_*' at every nesting level)
+            teachers.append(get_model(t_name,
+                                      num_classes=model_cfg.num_classes,
+                                      image_size=model_cfg.image_size,
+                                      batch_norm=_tree_has_bn(t_ts.params)))
         distill = (teachers, t_params, t_states,
                    train_cfg.distill_temp, train_cfg.distill_alpha)
         print(f"distilling from {len(teachers)} teacher(s) "

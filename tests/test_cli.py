@@ -263,3 +263,21 @@ def test_moecnn_family_through_clis(tmp_path, capsys):
                        "--output-dir", str(tmp_path)])
     assert rc == 0
     assert os.path.exists(os.path.join(tmp_path, "0.png"))
+
+
+def test_cpu_env_var_wins_in_subprocess():
+    """The environment's sitecustomize force-sets jax_platforms='axon,cpu'
+    at interpreter startup, silently overriding the JAX_PLATFORMS env var
+    in every spawned CLI; cnn_tpu/__init__ re-asserts a CPU-forcing env var
+    so test-launched subprocesses never touch the TPU backend (whose init
+    blocks indefinitely while the device is busy or the tunnel is down)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import cnn_tpu, jax; print('backend=' + jax.default_backend())"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "backend=cpu" in out.stdout

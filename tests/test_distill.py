@@ -191,3 +191,19 @@ def test_ensemble_distill_two_teachers_mixture_math():
         fwd_logits(student, ts.params, ts.state).astype(jnp.float32) / T)
     want = float(T * T * jnp.mean(jnp.sum(p_mix * (lp - s_T), axis=-1)))
     np.testing.assert_allclose(float(kd), want, rtol=1e-5)
+
+
+def test_tree_has_bn_detects_teacher_bn():
+    """The train CLI auto-detects a teacher's BN-ness from its checkpoint
+    param tree (tools/train.py:_tree_has_bn) instead of assuming the student
+    config's batch_norm — a BN-free teacher must construct a BN-free model."""
+    from cnn_tpu.tools.train import _tree_has_bn
+
+    for bn in (False, True):
+        mdl = get_model("alexnet", num_classes=3, image_size=64,
+                        batch_norm=bn)
+        ts = create_train_state(mdl, optim.make_optimizer("sgd", 1e-3),
+                                jax.random.key(0))
+        assert _tree_has_bn(ts.params) is bn
+    assert _tree_has_bn({"stem": {"shortcut_bn": {"gamma": 1}}})
+    assert not _tree_has_bn({"conv_1": {"w": 0, "b": 0}})

@@ -33,12 +33,24 @@ def test_sigterm_checkpoints_and_resume_continues(tmp_path):
     try:
         # wait for the dataset banner (process is up), then give it a
         # moment to enter the loop; a signal during compile still stops
-        # cleanly at the first completed iteration
-        deadline = time.monotonic() + 120
-        for line in proc.stdout:
-            if "valid  :" in line:
-                break
-            assert time.monotonic() < deadline, "train CLI never started"
+        # cleanly at the first completed iteration. Poll with a select
+        # timeout: a bare readline would block forever on a child that
+        # prints nothing at all (seen when a backend-init hang precedes
+        # the first print), and the deadline would never fire.
+        import selectors
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        deadline = time.monotonic() + 180
+        started = False
+        while time.monotonic() < deadline and not started:
+            if sel.select(timeout=5.0):
+                line = proc.stdout.readline()
+                if not line:  # EOF: child exited early
+                    break
+                if "valid  :" in line:
+                    started = True
+        sel.unregister(proc.stdout)
+        assert started, "train CLI never started"
         time.sleep(10)
         proc.send_signal(signal.SIGTERM)
         out = proc.stdout.read()

@@ -16,11 +16,21 @@ from cnn_tpu.models import get_model
 
 
 @pytest.mark.parametrize("h,k,pad", [(224, 3, 0), (55, 3, 0), (64, 3, 1),
-                                     (57, 1, 0), (33, 5, 2)])
+                                     (57, 1, 0), (33, 5, 2),
+                                     # even kernels: no zero weight-pad ring
+                                     # masks the odd-extent bottom/right pad;
+                                     # the output slice must drop it
+                                     (65, 2, 0), (64, 2, 0), (31, 4, 1)])
 def test_conv2d_s2d_exact(rng, h, k, pad):
     cin, cout = 3, 16
     x = jnp.asarray(rng.standard_normal((2, h, h, cin)), jnp.float32)
-    params = ops.conv2d_init(jax.random.key(0), cin, cout, k)
+    # raw params, not conv2d_init: the init faithfully asserts the
+    # reference's odd-kernel rule (conv2d.cpp:14) but the s2d/direct
+    # equivalence must hold for even kernels too (the slice-extent case)
+    params = {"w": jnp.asarray(rng.standard_normal((k, k, cin, cout)),
+                               jnp.float32) * 0.1,
+              "b": jnp.asarray(rng.standard_normal((cout,)),
+                               jnp.float32) * 0.1}
     ref = ops.conv2d(params, x, stride=2, padding=pad)
     out = ops.conv2d_s2d(params, x, stride=2, padding=pad)
     assert out.shape == ref.shape

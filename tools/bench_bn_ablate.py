@@ -21,6 +21,16 @@ FMA's traffic. Run from the repo root: ``python -m tools.bench_bn_ablate``.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# runnable both as `python -m tools.<name>` (repo root on path) and
+# as a direct script (only tools/ on path): make repo-root imports
+# (bench, cnn_tpu) resolve either way
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import functools
 import json
 
@@ -105,13 +115,8 @@ def measure(mode: str, width=256, n_blocks=8, batch_size=256, iters=12):
 
 @functools.cache
 def _cache_cfg():
-    import os
-
-    import jax
-    cache = "/root/repo/.jax_cache"
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import enable_compile_cache
+    enable_compile_cache()
 
 
 def main():

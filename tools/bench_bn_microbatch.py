@@ -14,6 +14,16 @@ Run from the repo root: ``python -m tools.bench_bn_microbatch``.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# runnable both as `python -m tools.<name>` (repo root on path) and
+# as a direct script (only tools/ on path): make repo-root imports
+# (bench, cnn_tpu) resolve either way
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import json
 import time
 

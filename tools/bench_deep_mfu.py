@@ -11,6 +11,16 @@ Run from the repo root: ``python -m tools.bench_deep_mfu``.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# runnable both as `python -m tools.<name>` (repo root on path) and
+# as a direct script (only tools/ on path): make repo-root imports
+# (bench, cnn_tpu) resolve either way
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+
 import json
 import time
 
@@ -18,12 +28,8 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    import jax
-    import os
-    cache = "/root/repo/.jax_cache"
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import enable_compile_cache
+    enable_compile_cache()
 
 
 def measure(width: int, n_blocks: int, batch_size: int, remat,
