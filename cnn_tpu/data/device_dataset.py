@@ -73,6 +73,9 @@ class DeviceDataset:
                n_global: Optional[int] = None):
         self.mesh = mesh
         self.n = len(imgs)
+        # rows before shard-divisibility padding; the epoch sampler uses
+        # this to keep pad duplicates out of the exactly-once protocol
+        self.n_real = len(imgs)
         if mesh is not None:
             data_dim = mesh.shape["data"]
             img_sh = NamedSharding(mesh, P("data", None, None, None))
@@ -93,6 +96,7 @@ class DeviceDataset:
                     sel = [i % ng for i in range(lo, lo + npp)]
                     imgs, lbls = imgs[sel], lbls[sel]
                 self.n = n_pad
+                self.n_real = ng
                 gshape = (n_pad, *imgs.shape[1:])
                 self.images = jax.make_array_from_process_local_data(
                     img_sh, imgs, gshape)
@@ -130,7 +134,8 @@ class DeviceDataset:
             yield self.images[self.n - rem:], self.labels[self.n - rem:]
 
 
-def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool):
+def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool,
+                   real_limit=None, repl_bound: int | None = None):
     """Without-replacement epoch iteration under jit: positions
     ``step*bs + i`` walk a per-epoch permutation of ``[0, n)``; a batch
     straddling an epoch boundary takes its tail from the next epoch's
@@ -140,6 +145,14 @@ def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool):
     ``fixed=True`` reproduces the reference's quirk exactly: it reshuffles
     with a freshly re-seeded engine each epoch (pipeline.cpp:149), i.e.
     the SAME permutation every epoch.
+
+    ``real_limit``/``repl_bound`` handle shard-divisibility PADDING (rows
+    ``[real_limit, n)`` duplicate real samples): a permutation slot landing
+    on a pad row is remapped to a per-epoch random row in
+    ``[0, repl_bound)``, so the inevitable extra visits (equal per-step
+    shard contributions make strict exactly-once impossible when the shard
+    count does not divide the dataset) rotate over the data instead of
+    systematically re-visiting the same duplicated leading samples.
     """
     g = step * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
     e, pos = g // n, g % n
@@ -154,7 +167,17 @@ def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool):
         return jax.random.permutation(k, n)
 
     p0, p1 = perm(e[0]), perm(e[0] + 1)
-    return jnp.where(e == e[0], p0[pos], p1[pos])
+    idx = jnp.where(e == e[0], p0[pos], p1[pos])
+    if repl_bound is not None:
+        pad_stream = jax.random.fold_in(base_key, 0x50414444)  # "PADD"
+
+        def repl(eid):
+            k = jax.random.fold_in(pad_stream, jnp.where(fixed, 0, eid))
+            return jax.random.randint(k, (batch_size,), 0, repl_bound)
+
+        r = jnp.where(e == e[0], repl(e[0]), repl(e[0] + 1))
+        idx = jnp.where(idx >= real_limit, r, idx)
+    return idx
 
 
 def _make_epoch_sampler(dataset: DeviceDataset, batch_size: int,
@@ -162,9 +185,14 @@ def _make_epoch_sampler(dataset: DeviceDataset, batch_size: int,
     """(base_key, step, images_ref, labels_ref) -> (images, labels):
     epoch-permutation sampling (see ``_epoch_indices``). With a mesh, each
     data shard walks its own per-epoch permutation of its LOCAL rows —
-    still collective-free, still exactly-once per (global) epoch since the
-    shards partition the dataset."""
+    collective-free. When the shard count does not divide the dataset, the
+    upload padded the global tail with duplicated leading samples; those
+    pad slots (< data-shard count of them per epoch) are remapped to
+    per-epoch random real rows of the same shard, so every real sample is
+    seen at least once per epoch and no fixed sample is systematically
+    seen twice."""
     n = dataset.n
+    pad = n - getattr(dataset, "n_real", n)
     if mesh is None:
         # a batch straddles at most one epoch boundary (two permutations)
         assert batch_size <= n, (batch_size, n)
@@ -182,10 +210,18 @@ def _make_epoch_sampler(dataset: DeviceDataset, batch_size: int,
     assert per_shard <= n_local, (
         f"per-shard batch {per_shard} exceeds the local shard ({n_local} "
         "rows) — a batch may straddle at most one epoch boundary")
+    # pad rows are the padded global array's tail, i.e. the LAST shard's
+    # local tail (pad < data_dim <= n_local rows)
+    assert pad < n_local, (pad, n_local)
 
     def local_sample(base_key, step, images_ref, labels_ref):
-        k = jax.random.fold_in(base_key, jax.lax.axis_index("data"))
-        idx = _epoch_indices(k, step, per_shard, n_local, fixed)
+        s = jax.lax.axis_index("data")
+        k = jax.random.fold_in(base_key, s)
+        real_limit = None if pad == 0 else jnp.where(
+            s == data_dim - 1, n_local - pad, n_local)
+        idx = _epoch_indices(k, step, per_shard, n_local, fixed,
+                             real_limit=real_limit,
+                             repl_bound=(n_local - pad) if pad else None)
         return (jnp.take(images_ref, idx, axis=0),
                 jnp.take(labels_ref, idx, axis=0))
 

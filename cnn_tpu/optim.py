@@ -173,19 +173,22 @@ def make_optimizer(name: str, learning_rate: float, momentum: float = 0.0,
             tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
         return from_optax(tx)
 
+    # one resolution for every branch: 'momentum' defaults to 0.9 whether
+    # or not weight decay / clipping are present (adding --weight-decay
+    # must not silently change the optimizer family)
+    mom = momentum or (0.9 if name == "momentum" else 0.0)
+
     if weight_decay > 0.0:
         if name == "adam":
             return clipped(optax.adamw(lr, weight_decay=weight_decay))
         tx = optax.chain(optax.add_decayed_weights(weight_decay),
-                         optax.sgd(lr, momentum=momentum or None))
+                         optax.sgd(lr, momentum=mom or None))
         return clipped(tx)
-    if name == "sgd" and momentum == 0.0 and isinstance(lr, float) \
+    if name == "sgd" and mom == 0.0 and isinstance(lr, float) \
             and grad_clip == 0.0:
         return sgd(lr)
-    if name == "sgd" and momentum == 0.0:
-        return clipped(optax.sgd(lr))
     if name in ("sgd", "momentum"):
-        return clipped(optax.sgd(lr, momentum=momentum or 0.9))
+        return clipped(optax.sgd(lr, momentum=mom or None))
     if name == "adam":
         return clipped(optax.adam(lr))
     raise ValueError(f"unknown optimizer '{name}'")

@@ -297,6 +297,21 @@ _TTA_VIEWS = {
 }
 
 
+def _metrics_from_log_ps(log_ps, labels):
+    """Eval metrics from per-view/per-model log-probabilities: average
+    class PROBABILITIES, computed in log space — log(mean_i p_i) =
+    logsumexp_i(log p_i) - log(n). Stable for confidently-wrong samples
+    where softmax underflows to 0. The single definition shared by
+    make_eval_step and make_ensemble_eval_step."""
+    log_p = (jax.scipy.special.logsumexp(jnp.stack(log_ps), axis=0)
+             - jnp.log(len(log_ps)))
+    nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+    pred = jnp.argmax(log_p, axis=-1)
+    return {"loss": jnp.mean(nll),
+            "correct": jnp.sum((pred == labels).astype(jnp.int32)),
+            "pred": pred}
+
+
 def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
                    tta: str = ""):
     """Returns jitted ``(params, state, images, labels) -> metrics`` (train=False).
@@ -318,16 +333,7 @@ def make_eval_step(model, *, compute_dtype=None, mesh: Optional[Mesh] = None,
                                        compute_dtype=compute_dtype)
             log_ps.append(jax.nn.log_softmax(logits.astype(jnp.float32),
                                              axis=-1))
-        # average class PROBABILITIES, computed in log space:
-        # log(mean_i p_i) = logsumexp_i(log p_i) - log(n). Stable for
-        # confidently-wrong samples where softmax underflows to 0.
-        log_p = (jax.scipy.special.logsumexp(jnp.stack(log_ps), axis=0)
-                 - jnp.log(len(log_ps)))
-        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(log_p, axis=-1)
-        return {"loss": jnp.mean(nll),
-                "correct": jnp.sum((pred == labels).astype(jnp.int32)),
-                "pred": pred}
+        return _metrics_from_log_ps(log_ps, labels)
 
     if mesh is None:
         return jax.jit(step)
@@ -369,14 +375,7 @@ def make_ensemble_eval_step(models, *, compute_dtype=None, tta: str = ""):
                                          compute_dtype=compute_dtype)
                 log_ps.append(jax.nn.log_softmax(
                     logits.astype(jnp.float32), axis=-1))
-        # log-space probability averaging; see make_eval_step
-        log_p = (jax.scipy.special.logsumexp(jnp.stack(log_ps), axis=0)
-                 - jnp.log(len(log_ps)))
-        nll = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
-        pred = jnp.argmax(log_p, axis=-1)
-        return {"loss": jnp.mean(nll),
-                "correct": jnp.sum((pred == labels).astype(jnp.int32)),
-                "pred": pred}
+        return _metrics_from_log_ps(log_ps, labels)
 
     return jax.jit(step)
 

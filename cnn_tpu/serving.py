@@ -106,9 +106,16 @@ class InferenceEngine:
         return self._compiled[bucket]
 
     def warmup(self) -> None:
-        """AOT-compile every bucket up front (first compile is ~20-40 s)."""
+        """AOT-compile every bucket up front (first compile is ~20-40 s),
+        then execute ONE throwaway batch and block on its result: the first
+        execution after an AOT compile can stall for minutes while the
+        remote compile helper drains its queue, and that stall must land
+        here — not on the first real request, which (in the TCP server)
+        carries a client-facing timeout."""
         for b in self.buckets:
             self._get_compiled(b)
+        s = self.model.image_size
+        self.predict(np.zeros((1, s, s, 3), np.uint8))
 
     def predict(self, images_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """[N,H,W,3] uint8 -> (labels [N] int, probs [N,C] f32)."""

@@ -35,11 +35,15 @@ from cnn_tpu.utils.profiling import StepTimer, trace
 
 
 def _tree_has_bn(tree) -> bool:
-    """True if any dict key at any level names a BatchNorm layer ('*bn*' —
-    bn_1, stem_bn, shortcut_bn ...). Used to detect whether a teacher
-    checkpoint was trained with BN without requiring a CLI flag."""
+    """True if the param tree contains a BatchNorm-SHAPED subtree (a dict
+    with both 'gamma' and 'beta' leaves — ops/batchnorm.py's param layout).
+    Structural, not name-based: detects whether a teacher/ensemble
+    checkpoint was trained with BN without requiring a CLI flag, and
+    survives layer renames."""
     if isinstance(tree, dict):
-        return any(("bn" in str(k)) or _tree_has_bn(v) for k, v in tree.items())
+        if "gamma" in tree and "beta" in tree:
+            return True
+        return any(_tree_has_bn(v) for v in tree.values())
     return False
 
 
@@ -194,6 +198,10 @@ def _main(argv, preempted):
             "--pipeline-stages augments in the host loader (drop --device-augment)"
         assert train_cfg.mixup == 0.0 and train_cfg.cutmix == 0.0, \
             "--mixup/--cutmix are not wired into the pipeline-parallel step"
+        assert train_cfg.grad_accum <= 1, \
+            "--grad-accum is not wired into the pipeline-parallel step " \
+            "(raise --microbatches instead: GPipe microbatching already " \
+            "bounds per-stage activation memory)"
         stages = train_cfg.pipeline_stages
         dp = train_cfg.data_parallel or max(1, n_dev // stages)
         # the real constraint is PER DATA SHARD: each shard's sub-batch

@@ -205,5 +205,8 @@ def test_tree_has_bn_detects_teacher_bn():
         ts = create_train_state(mdl, optim.make_optimizer("sgd", 1e-3),
                                 jax.random.key(0))
         assert _tree_has_bn(ts.params) is bn
-    assert _tree_has_bn({"stem": {"shortcut_bn": {"gamma": 1}}})
+    # structural detection: BN = a {gamma, beta} subtree, whatever the
+    # layer is named; a 'bn'-ish NAME alone must not trigger it
+    assert _tree_has_bn({"stem": {"norm": {"gamma": 1, "beta": 0}}})
+    assert not _tree_has_bn({"bn_1": {"w": 0, "b": 0}})
     assert not _tree_has_bn({"conv_1": {"w": 0, "b": 0}})

@@ -100,6 +100,42 @@ def test_epoch_exactly_once_8device_mesh():
     assert sorted(per_shard[:, :5].ravel()) == list(range(n))
 
 
+def test_epoch_sampling_padded_shards_no_fixed_double_count():
+    """n not divisible by the shard count: the upload pads the global tail
+    with duplicated leading samples. The epoch sampler must (a) still visit
+    every REAL sample at least once per epoch, and (b) remap the pad slots
+    to per-epoch-VARYING rows — never systematically re-visit the same
+    duplicated samples every epoch (the silent weighting bias)."""
+    mesh = make_mesh(8, 1)
+    n, bs = 38, 8                      # pads to 40: 5 rows/shard, 2 pad rows
+    ds = _id_dataset(n, mesh=mesh)
+    assert ds.n == 40 and ds.n_real == 38
+    sampler = _make_epoch_sampler(ds, bs, mesh, fixed=False)
+    jitted = jax.jit(lambda k, s: sampler(k, s, ds.images, ds.labels))
+    ids = []
+    for s in range(20):                # 4 local epochs of 5 rows
+        xs, ys = jitted(jax.random.key(11), jnp.int32(s))
+        got = np.asarray(xs)[:, 0, 0, 0].astype(np.int64)
+        np.testing.assert_array_equal(got % 3, np.asarray(ys))
+        ids.append(got.reshape(8, 1))
+    per_shard = np.concatenate(ids, axis=1)      # [8, 20]
+    extras = []
+    for e in range(4):
+        epoch = per_shard[:, e * 5:(e + 1) * 5].ravel()
+        # every real sample at least once; the 2 pad slots remap to real
+        # rows of the last shard (its real range is [35, 38))
+        assert set(range(n)) <= set(epoch.tolist()), e
+        assert epoch.max() < n                   # pad rows never surface
+        counts = np.bincount(epoch, minlength=n)
+        (dup,) = np.nonzero(counts > 1)
+        assert counts.sum() == 40 and ((dup >= 35) & (dup < 38)).all()
+        extras.append(tuple(sorted(epoch.tolist())))
+    # the duplicated rows vary across epochs (per-epoch random remap):
+    # with 2 slots over 3 candidate rows, 4 identical epochs means the
+    # remap is constant — the bug this test pins down
+    assert len(set(extras)) > 1
+
+
 def test_epoch_mode_train_step_end_to_end():
     """make_device_train_step(sample_mode='epoch') composes with the mesh,
     augmentation-free path, and steps_per_call scanning (ts.step advances

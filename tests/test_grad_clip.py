@@ -35,3 +35,20 @@ def test_clip_composes_with_momentum_and_decay():
     new_params, s = opt.update({"a": jnp.full(3, 10.0)}, s, params)
     assert np.all(np.isfinite(np.asarray(new_params["a"])))
     assert float(new_params["a"][0]) < 1.0
+
+
+def test_weight_decay_does_not_change_optimizer_family():
+    """'momentum' must default to momentum 0.9 with OR without weight
+    decay: two identical-gradient steps accelerate (velocity builds) in
+    both configurations — adding --weight-decay must not silently degrade
+    to plain SGD."""
+    for wd in (0.0, 1e-4):
+        opt = optim.make_optimizer("momentum", 1e-2, weight_decay=wd)
+        params = {"a": jnp.zeros(2)}
+        s = opt.init(params)
+        g = {"a": jnp.ones(2)}
+        p1, s = opt.update(g, s, params)
+        d1 = float(params["a"][0] - p1["a"][0])
+        p2, s = opt.update(g, s, p1)
+        d2 = float(p1["a"][0] - p2["a"][0])
+        assert d2 > d1 * 1.5, (wd, d1, d2)  # velocity accumulated
