@@ -48,14 +48,20 @@ class DeviceDataset:
             assert rem == 0, (n_pad, jax.process_count())
             lo = npp * jax.process_index()
             local = [samples[i % n_global] for i in range(lo, lo + npp)]
-        loader = DataLoader(local, batch_size=1, augment=False,
+        # batch_size bounds the loader's in-flight decode futures: at 1 the
+        # worker pool degenerates to serial decode (one future per yield)
+        bs = max(1, min(8 * num_workers, len(local)))
+        loader = DataLoader(local, batch_size=bs, augment=False,
                             shuffle=False, image_size=image_size,
                             num_workers=num_workers, cache=False)
         imgs = np.empty((len(local), image_size, image_size, 3), np.uint8)
         lbls = np.empty((len(local),), np.int32)
-        for i, (img, lbl) in enumerate(loader):
-            imgs[i] = img[0]
-            lbls[i] = lbl[0]
+        pos = 0
+        for img, lbl in loader:
+            imgs[pos:pos + len(lbl)] = img
+            lbls[pos:pos + len(lbl)] = lbl
+            pos += len(lbl)
+        assert pos == len(local), (pos, len(local))
         self._place(imgs, lbls, sharding, mesh, n_global=n_global)
         self.image_size = image_size
 
@@ -121,17 +127,30 @@ class DeviceDataset:
 
     def sample(self, rng: jax.Array, batch_size: int):
         """On-device uniform sampling with replacement (call under jit)."""
-        idx = jax.random.randint(rng, (batch_size,), 0, self.n)
-        return jnp.take(self.images, idx, axis=0), jnp.take(self.labels, idx, axis=0)
+        return _uniform_sample(rng, self.images, self.labels, batch_size,
+                               self.n)
 
     def epoch_batches(self, batch_size: int):
-        """Sequential full-epoch iteration (for eval): yields device slices."""
-        for start in range(0, self.n - batch_size + 1, batch_size):
+        """Sequential full-epoch iteration (for eval): yields device slices.
+
+        Iterates ``n_real`` rows — the shard-divisibility pad (duplicated
+        leading samples re-listed at the global tail) must not be counted
+        twice in eval metrics."""
+        n = self.n_real
+        for start in range(0, n - batch_size + 1, batch_size):
             yield (jax.lax.dynamic_slice_in_dim(self.images, start, batch_size),
                    self.labels[start:start + batch_size])
-        rem = self.n % batch_size
+        rem = n % batch_size
         if rem:
-            yield self.images[self.n - rem:], self.labels[self.n - rem:]
+            yield self.images[n - rem:n], self.labels[n - rem:n]
+
+
+def _uniform_sample(key, images, labels, batch_size: int, n: int):
+    """Uniform-with-replacement row sampling — the single definition behind
+    ``DeviceDataset.sample`` and ``_make_sampler`` (pad rows, being
+    duplicated real samples, are fair game under replacement)."""
+    idx = jax.random.randint(key, (batch_size,), 0, n)
+    return jnp.take(images, idx, axis=0), jnp.take(labels, idx, axis=0)
 
 
 def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool,
@@ -154,8 +173,18 @@ def _epoch_indices(base_key, step, batch_size: int, n: int, fixed: bool,
     count does not divide the dataset) rotate over the data instead of
     systematically re-visiting the same duplicated leading samples.
     """
-    g = step * batch_size + jnp.arange(batch_size, dtype=jnp.int32)
-    e, pos = g // n, g % n
+    # int32-safe decomposition of g = step*bs + i (the direct product wraps
+    # negative at step*bs >= 2^31 — ~8M steps at bs 256, one long run; x64
+    # is disabled in jax by default so int64 is not an option): with
+    # step = sq*n + sr, g = sq*bs*n + (sr*bs + i), hence
+    # e = g//n = sq*bs + (sr*bs + i)//n and pos = g%n = (sr*bs + i) % n,
+    # every intermediate bounded by n*bs (statically asserted) or the
+    # epoch count.
+    assert n * batch_size < 2**31, (n, batch_size)
+    i = jnp.arange(batch_size, dtype=jnp.int32)
+    sq, sr = step // n, step % n
+    t = sr * batch_size + i
+    e, pos = sq * batch_size + t // n, t % n
     # dedicated stream: the caller passes the SESSION key (the permutation
     # must be constant within an epoch), and the train step derives its
     # per-step keys as fold_in(session, step) — so folding the raw epoch id
@@ -250,9 +279,7 @@ def _make_sampler(dataset: DeviceDataset, batch_size: int,
     n = dataset.n
     if mesh is None:
         def sample(k, images_ref, labels_ref):
-            idx = jax.random.randint(k, (batch_size,), 0, n)
-            return (jnp.take(images_ref, idx, axis=0),
-                    jnp.take(labels_ref, idx, axis=0))
+            return _uniform_sample(k, images_ref, labels_ref, batch_size, n)
         return sample
 
     data_dim = mesh.shape["data"]
@@ -276,9 +303,7 @@ def _make_sampler(dataset: DeviceDataset, batch_size: int,
     def local_sample(k, images_ref, labels_ref):
         # refs here are the LOCAL [n/D, ...] shards
         k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-        idx = jax.random.randint(k, (per_shard,), 0, n_local)
-        return (jnp.take(images_ref, idx, axis=0),
-                jnp.take(labels_ref, idx, axis=0))
+        return _uniform_sample(k, images_ref, labels_ref, per_shard, n_local)
 
     return jax.shard_map(
         local_sample, mesh=mesh,
@@ -345,14 +370,9 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     dst = normalize_distill(distill, grad_accum=grad_accum)
     t_params0, t_state0 = (dst[1], dst[2]) if dst else (None, None)
-    constrain = None
-    if mesh is not None and grad_accum > 1:
-        mb_img = NamedSharding(mesh, P(None, "data"))
-        mb_lbl = NamedSharding(mesh, P(None, "data"))
-
-        def constrain(imgs, lbls):
-            return (jax.lax.with_sharding_constraint(imgs, mb_img),
-                    jax.lax.with_sharding_constraint(lbls, mb_lbl))
+    from cnn_tpu.parallel.train_step import make_microbatch_regroup
+    regroup = (make_microbatch_regroup(mesh, grad_accum)
+               if mesh is not None and grad_accum > 1 else None)
     epoch_mode = sample_mode in ("epoch", "epoch_fixed")
     if epoch_mode:
         sampler = _make_epoch_sampler(dataset, batch_size, mesh,
@@ -384,7 +404,7 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
             grads, new_state, loss, correct = accumulate_grads(
                 model, ts.params, ts.state, images, labels, k_model,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
-                label_smoothing=label_smoothing, constrain=constrain)
+                label_smoothing=label_smoothing, regroup=regroup)
         else:
             k_model, images, mix, dist = mix_and_teacher_targets(
                 k_model, images, mixup=mixup, cutmix=cutmix, distill=dst,

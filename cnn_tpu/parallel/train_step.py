@@ -86,9 +86,46 @@ def _prep(images, compute_dtype):
     return images
 
 
+def make_microbatch_regroup(mesh: Mesh, grad_accum: int):
+    """[B]-batch -> [K, mb] microbatches with every row staying on its
+    original 'data' shard.
+
+    A plain ``reshape(K, mb)`` + ``with_sharding_constraint(P(None,
+    'data'))`` asks GSPMD to move row ``k*mb+j`` to shard ``j/(mb/D)``
+    while the sampler left row ``r`` on shard ``r/(B/D)`` — an all-to-all
+    of the full batch per step, on the input hot path. Viewing the batch
+    as ``[D, K, mb/D]`` and transposing to ``[K, D, mb/D]`` gives every
+    microbatch an equal contiguous slice of every shard with zero data
+    movement. Grouping only affects per-microbatch BN statistics and
+    Dropout keys, never the mean gradient.
+    """
+    D = mesh.shape["data"]
+    sp = "spatial" if "spatial" in mesh.axis_names else None
+    K = grad_accum
+
+    def one(x, spec):
+        B = x.shape[0]
+        mb = B // K
+        if mb % D == 0:
+            y = x.reshape((D, K, mb // D) + x.shape[1:])
+            y = y.transpose((1, 0, 2) + tuple(range(3, y.ndim)))
+            y = y.reshape((K, mb) + x.shape[1:])
+        else:
+            # microbatch smaller than the data axis: shard-local slicing
+            # is impossible, pay the reshard (tiny batches only)
+            y = x.reshape((K, mb) + x.shape[1:])
+        return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
+
+    def regroup(images, labels):
+        return (one(images, P(None, "data", sp)),
+                one(labels, P(None, "data")))
+
+    return regroup
+
+
 def accumulate_grads(model, params, state, images, labels, rng, *,
                      grad_accum, compute_dtype=None, remat=False,
-                     label_smoothing=0.0, constrain=None):
+                     label_smoothing=0.0, regroup=None):
     """Mean gradients over ``grad_accum`` sequential microbatches.
 
     ``lax.scan`` re-uses one microbatch's activation memory for all K
@@ -111,10 +148,11 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     B = images.shape[0]
     assert B % K == 0, f"batch {B} not divisible by grad_accum {K}"
     mb = B // K
-    imgs = images.reshape((K, mb) + images.shape[1:])
-    lbls = labels.reshape((K, mb))
-    if constrain is not None:  # keep microbatch rows shard-local on a mesh
-        imgs, lbls = constrain(imgs, lbls)
+    if regroup is not None:  # mesh: shard-local microbatch slices
+        imgs, lbls = regroup(images, labels)
+    else:
+        imgs = images.reshape((K, mb) + images.shape[1:])
+        lbls = labels.reshape((K, mb))
 
     def micro(carry, xs):
         st, gacc, lacc, cacc = carry
@@ -222,15 +260,8 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
         "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     dst = normalize_distill(distill, grad_accum=grad_accum)
     teacher, t_params0, t_state0 = (dst[:3] if dst else (None, None, None))
-    constrain = None
-    if mesh is not None and grad_accum > 1:
-        sp_ = "spatial" if "spatial" in mesh.axis_names else None
-        mb_img = NamedSharding(mesh, P(None, "data", sp_))
-        mb_lbl = NamedSharding(mesh, P(None, "data"))
-
-        def constrain(imgs, lbls):
-            return (jax.lax.with_sharding_constraint(imgs, mb_img),
-                    jax.lax.with_sharding_constraint(lbls, mb_lbl))
+    regroup = (make_microbatch_regroup(mesh, grad_accum)
+               if mesh is not None and grad_accum > 1 else None)
 
     def step(ts: TrainState, images, labels, t_params=None, t_state=None):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
@@ -249,7 +280,7 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 model, ts.params, ts.state, images, labels, rng,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 remat=remat, label_smoothing=label_smoothing,
-                constrain=constrain)
+                regroup=regroup)
         else:
             rng, images, mix, dist = mix_and_teacher_targets(
                 rng, images, mixup=mixup, cutmix=cutmix, distill=dst,

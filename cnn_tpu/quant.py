@@ -32,7 +32,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cnn_tpu.nn.module import (BatchNorm2D, Conv2D, Linear, ResidualBlock,
                                StackedBlocks)
@@ -158,8 +157,13 @@ def _quantize_weight(w: jnp.ndarray, axis: int):
     return q.astype(jnp.int8), scale
 
 
-def _scale_of(x) -> float:
-    return float(jnp.max(jnp.abs(x))) / 127.0 or 1e-12
+def _scale_of(x):
+    """absmax/127 as a DEVICE scalar: calibration never blocks on a host
+    fetch (each would be a ~30 ms tunnel RPC, one per conv/linear — the
+    cost _trunk_calibrate's batching already avoids); the scalars ride
+    inside qparams as in_scale leaves."""
+    return jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0,
+                       1e-12)
 
 
 def _trunk_calibrate(trunk: StackedBlocks, tparams, h):

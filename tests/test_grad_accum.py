@@ -91,6 +91,32 @@ def test_accum_on_mesh_matches_single_device(rng):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_accum_on_mesh_shard_local_regroup_matches(rng):
+    """mb % data_dim == 0 takes the zero-communication regroup path
+    ([D, K, mb/D] transpose — every microbatch slice stays on its shard);
+    the mean gradient over the full batch is grouping-invariant for an
+    rng-free stateless model, so it must match the single-device result."""
+    model = _model()
+    images, labels = _batch(rng, b=64)
+    opt = optim.sgd(1e-2)
+    ts0 = create_train_state(model, opt, jax.random.PRNGKey(0))
+
+    single = make_train_step(model, opt, donate=False, grad_accum=2)
+    ts_s, m_s = single(ts0, images, labels)
+
+    mesh = make_mesh(8, 1)
+    sharded = make_train_step(model, opt, donate=False, grad_accum=2,
+                              mesh=mesh)
+    ts_p, m_p = sharded(shard_train_state(ts0, mesh, model), images, labels)
+
+    np.testing.assert_allclose(np.asarray(m_p["loss"]),
+                               np.asarray(m_s["loss"]), rtol=1e-5)
+    for ps, pp in zip(jax.tree_util.tree_leaves(ts_s.params),
+                      jax.tree_util.tree_leaves(ts_p.params)):
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(ps),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_accum_device_dataset_composes_with_steps_per_call(rng):
     model = _model()
     imgs = rng.integers(0, 256, (64, 64, 64, 3), np.uint8)
