@@ -157,9 +157,20 @@ class InferenceEngine:
             labels, probs = inflight.popleft()
             return int(np.asarray(labels)[0]), np.asarray(probs)[0]
 
-        compiled = self._get_compiled(1)
+        # smallest CONFIGURED bucket, padded: warmup() has already compiled
+        # and first-executed it — a hard-coded bucket 1 would AOT-compile
+        # (plus the minutes-long first-execute stall) on the first real
+        # streamed request whenever 1 is not in self.buckets
+        b = self.buckets[0]
+        compiled = self._get_compiled(b)
+        shape = (b,) + (self.model.image_size,) * 2 + (3,)
         for img in images_iter:
-            out = compiled(self.params, self.state, jnp.asarray(img[None]))
+            # a FRESH buffer per request: jax caches host->device transfers
+            # by array identity, so mutating one reused buffer would serve
+            # every request the last image's pixels
+            batch = np.zeros(shape, np.uint8)
+            batch[0] = img
+            out = compiled(self.params, self.state, jnp.asarray(batch))
             for a in out:
                 try:
                     a.copy_to_host_async()
@@ -255,8 +266,11 @@ class BatchingServer:
             self._flush(batch)
 
     def _flush(self, batch) -> None:
-        imgs = np.stack([b[0] for b in batch])
         try:
+            # np.stack INSIDE the try: a single malformed-shape submit must
+            # fail its window's futures, not kill the worker thread (which
+            # would hang every later fut.result() forever)
+            imgs = np.stack([b[0] for b in batch])
             labels, probs = self.engine.predict(imgs)
         except Exception as e:                      # surface, don't hang
             for _, fut in batch:

@@ -67,7 +67,7 @@ def main(argv=None):
             return p, ts.state
         return ts.params, ts.state
 
-    from cnn_tpu.tools.train import _tree_has_bn
+    from cnn_tpu.utils.checkpoint import tree_has_bn
 
     if pre_ns.ensemble:
         from cnn_tpu.parallel import make_ensemble_eval_step
@@ -82,7 +82,7 @@ def main(argv=None):
             # unknown keys) and evaluate garbage
             models.append(get_model(name, num_classes=model_cfg.num_classes,
                                     image_size=model_cfg.image_size,
-                                    batch_norm=_tree_has_bn(p)))
+                                    batch_norm=tree_has_bn(p)))
             params.append(p)
             state.append(s)
         eval_fn = make_ensemble_eval_step(models, compute_dtype=compute_dtype,
@@ -95,7 +95,7 @@ def main(argv=None):
         # over the --batch-norm flag (which defaults false)
         model = get_model(model_cfg.name, num_classes=model_cfg.num_classes,
                           image_size=model_cfg.image_size,
-                          batch_norm=_tree_has_bn(params),
+                          batch_norm=tree_has_bn(params),
                           dropout=model_cfg.dropout)
         eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
                                  tta=train_cfg.tta)
@@ -107,7 +107,9 @@ def main(argv=None):
     for split in want:
         loader = DataLoader(splits[split], train_cfg.valid_batch_size,
                             augment=False, shuffle=False,
-                            image_size=data_cfg.image_size)
+                            image_size=data_cfg.image_size,
+                            num_workers=data_cfg.num_workers,
+                            backend=data_cfg.backend, cache=data_cfg.cache)
         confusion = ConfusionMatrix(model_cfg.num_classes)
         loss, acc = evaluate(eval_fn, params, state, loader, confusion)
         print(f"{split.capitalize()}===> [loss {loss:.3f}] [Accuracy {acc:.3f}]")

@@ -34,19 +34,6 @@ from cnn_tpu.utils.metrics import (ClassificationEvaluator, ConfusionMatrix,
 from cnn_tpu.utils.profiling import StepTimer, trace
 
 
-def _tree_has_bn(tree) -> bool:
-    """True if the param tree contains a BatchNorm-SHAPED subtree (a dict
-    with both 'gamma' and 'beta' leaves — ops/batchnorm.py's param layout).
-    Structural, not name-based: detects whether a teacher/ensemble
-    checkpoint was trained with BN without requiring a CLI flag, and
-    survives layer renames."""
-    if isinstance(tree, dict):
-        if "gamma" in tree and "beta" in tree:
-            return True
-        return any(_tree_has_bn(v) for v in tree.values())
-    return False
-
-
 def evaluate(eval_step, params, state, loader,
              confusion: ConfusionMatrix | None = None) -> tuple[float, float]:
     """Mean loss + accuracy over one epoch of ``loader``."""
@@ -99,6 +86,11 @@ def main(argv=None):
         return _main(argv, preempted)
     finally:
         for _sig, _h in prev_handlers.items():
+            if _h is None:
+                # previous handler was not installed from Python (C-level):
+                # signal.signal(sig, None) raises TypeError — nothing to
+                # restore, the C handler is still in place
+                continue
             try:
                 _signal.signal(_sig, _h)
             except (ValueError, OSError):
@@ -323,12 +315,12 @@ def _main(argv, preempted):
             t_params.append(t_ts.params if p is None else p)
             t_states.append(t_ts.state)
             # the teacher's BN-ness is a property of its checkpoint, not of
-            # the student config: detect it from the saved param tree (BN
-            # layers are named 'bn_*' at every nesting level)
+            # the student config: detect it structurally from the saved
+            # param tree ({gamma, beta} subtrees — utils.checkpoint)
             teachers.append(get_model(t_name,
                                       num_classes=model_cfg.num_classes,
                                       image_size=model_cfg.image_size,
-                                      batch_norm=_tree_has_bn(t_ts.params)))
+                                      batch_norm=tree_has_bn(t_ts.params)))
         distill = (teachers, t_params, t_states,
                    train_cfg.distill_temp, train_cfg.distill_alpha)
         print(f"distilling from {len(teachers)} teacher(s) "
@@ -398,6 +390,12 @@ def _main(argv, preempted):
     device_mode = device_train_ds is not None
     bs = train_cfg.train_batch_size
     chunk = train_cfg.steps_per_call if device_mode else 1
+    # saves happen at validation boundaries (the checkpoint name embeds the
+    # valid accuracy, cnn.cpp:121-124), so an unaligned cadence would
+    # silently save every lcm(valid, save) iters — or never
+    assert train_cfg.save_iters % train_cfg.valid_iters == 0, \
+        f"--save-iters {train_cfg.save_iters} must be a multiple of " \
+        f"--valid-iters {train_cfg.valid_iters}"
     if chunk > 1:
         # every chunk advances `chunk` iterations inside one program, so
         # the validate/save cadence, the total, and any resume point must
@@ -504,7 +502,10 @@ def _main(argv, preempted):
                   f"(valid acc {best_acc:.3f}); testing the FINAL state")
         test_loader = DataLoader(splits["test"], train_cfg.valid_batch_size,
                                  augment=False, shuffle=False,
-                                 image_size=data_cfg.image_size)
+                                 image_size=data_cfg.image_size,
+                                 num_workers=data_cfg.num_workers,
+                                 backend=data_cfg.backend,
+                                 cache=data_cfg.cache)
         confusion = ConfusionMatrix(model_cfg.num_classes)
         test_params = optim.ema_params(ts.opt_state)
         test_params = ts.params if test_params is None else test_params

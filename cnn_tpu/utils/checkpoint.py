@@ -115,6 +115,19 @@ def load_checkpoint(path: str, train_state=None):
     )
 
 
+def tree_has_bn(tree) -> bool:
+    """True if the param tree contains a BatchNorm-SHAPED subtree (a dict
+    with both 'gamma' and 'beta' leaves — ops/batchnorm.py's param layout).
+    Structural, not name-based: lets the train/evaluate CLIs detect whether
+    a teacher/ensemble checkpoint was trained with BN without a flag, and
+    survives layer renames."""
+    if isinstance(tree, dict):
+        if "gamma" in tree and "beta" in tree:
+            return True
+        return any(tree_has_bn(v) for v in tree.values())
+    return False
+
+
 def warm_start(train_state, path: str, optimizer=None):
     """Transfer-learning init: copy into ``train_state`` every params/state
     leaf of the checkpoint at ``path`` whose tree path exists here with an

@@ -195,18 +195,18 @@ def test_ensemble_distill_two_teachers_mixture_math():
 
 def test_tree_has_bn_detects_teacher_bn():
     """The train CLI auto-detects a teacher's BN-ness from its checkpoint
-    param tree (tools/train.py:_tree_has_bn) instead of assuming the student
+    param tree (utils.checkpoint.tree_has_bn) instead of assuming the student
     config's batch_norm — a BN-free teacher must construct a BN-free model."""
-    from cnn_tpu.tools.train import _tree_has_bn
+    from cnn_tpu.utils.checkpoint import tree_has_bn
 
     for bn in (False, True):
         mdl = get_model("alexnet", num_classes=3, image_size=64,
                         batch_norm=bn)
         ts = create_train_state(mdl, optim.make_optimizer("sgd", 1e-3),
                                 jax.random.key(0))
-        assert _tree_has_bn(ts.params) is bn
+        assert tree_has_bn(ts.params) is bn
     # structural detection: BN = a {gamma, beta} subtree, whatever the
     # layer is named; a 'bn'-ish NAME alone must not trigger it
-    assert _tree_has_bn({"stem": {"norm": {"gamma": 1, "beta": 0}}})
-    assert not _tree_has_bn({"bn_1": {"w": 0, "b": 0}})
-    assert not _tree_has_bn({"conv_1": {"w": 0, "b": 0}})
+    assert tree_has_bn({"stem": {"norm": {"gamma": 1, "beta": 0}}})
+    assert not tree_has_bn({"bn_1": {"w": 0, "b": 0}})
+    assert not tree_has_bn({"conv_1": {"w": 0, "b": 0}})
