@@ -77,7 +77,9 @@ class DataLoader:
 
     @property
     def batches_per_epoch(self) -> int:
-        return len(self.samples) // self.batch_size
+        """Batches yielded by one ``__iter__`` epoch (ceil division — the
+        final partial batch is yielded too)."""
+        return -(-len(self.samples) // self.batch_size)
 
     # ------------------------------------------------------------ internals
 
@@ -115,50 +117,63 @@ class DataLoader:
         img = cv2.resize(img, (self.image_size, self.image_size))
         return np.ascontiguousarray(img), label
 
-    def _producer(self):
+    def _assemble(self, pool, idxs, epoch: int):
+        """Decode one batch through the worker pool: (uint8 stack, labels)."""
+        futs = [pool.submit(self._load_one, *self.samples[i], epoch, int(i))
+                for i in idxs]
+        imgs, labels = zip(*[f.result() for f in futs])
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+    def _producer(self, stop: threading.Event, q: queue.Queue):
+        # ``stop``/``q`` are THIS producer's own bindings: a zombie thread
+        # from a timed-out close() can never be revived by a later
+        # _ensure_started() (which makes fresh ones), nor write into the
+        # new producer's queue
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
-        epoch = 0
         try:
-            self._produce_loop(pool, epoch)
+            self._produce_loop(pool, stop, q)
         except BaseException as e:  # surface errors to the consumer — a
             # silently-dead producer would hang generate_batch forever
             self._error = e
-            try:
-                self._queue.put(_PRODUCER_ERROR, timeout=0.5)
-            except queue.Full:
-                pass
+            while not stop.is_set():
+                try:
+                    q.put(_PRODUCER_ERROR, timeout=0.5)
+                    break       # never drop the sentinel on a full queue:
+                except queue.Full:  # the consumer may be minutes inside
+                    continue        # the first step's compile
         finally:
             pool.shutdown(wait=False)
 
-    def _produce_loop(self, pool, epoch):
-        while not self._stop.is_set():
+    def _produce_loop(self, pool, stop: threading.Event, q: queue.Queue):
+        epoch = 0
+        while not stop.is_set():
             order = self._epoch_order(epoch)
             for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idxs = order[start:start + self.batch_size]
-                futs = [pool.submit(self._load_one, *self.samples[i], epoch, int(i))
-                        for i in idxs]
-                imgs, labels = zip(*[f.result() for f in futs])
-                batch = (np.stack(imgs), np.asarray(labels, np.int32))
-                while not self._stop.is_set():
+                batch = self._assemble(pool, order[start:start + self.batch_size],
+                                       epoch)
+                while not stop.is_set():
                     try:
-                        self._queue.put(batch, timeout=0.5)
+                        q.put(batch, timeout=0.5)
                         break
                     except queue.Full:
                         continue
-                if self._stop.is_set():
+                if stop.is_set():
                     return
             epoch += 1
 
     def _ensure_started(self):
-        if self._thread is None:
-            assert self.batch_size <= len(self.samples), (
-                f"batch_size {self.batch_size} > dataset size "
-                f"{len(self.samples)} — the infinite stream would yield no "
-                "batches and hang (epoch iteration via __iter__ still works)")
-            self._queue = queue.Queue(maxsize=self.prefetch)
-            self._stop.clear()
-            self._thread = threading.Thread(target=self._producer, daemon=True)
-            self._thread.start()
+        if self._thread is not None and self._thread.is_alive():
+            return
+        assert self.batch_size <= len(self.samples), (
+            f"batch_size {self.batch_size} > dataset size "
+            f"{len(self.samples)} — the infinite stream would yield no "
+            "batches and hang (epoch iteration via __iter__ still works)")
+        self._queue = queue.Queue(maxsize=self.prefetch)
+        self._stop = threading.Event()
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._producer, args=(self._stop, self._queue), daemon=True)
+        self._thread.start()
 
     # ------------------------------------------------------------ public API
 
@@ -166,29 +181,28 @@ class DataLoader:
         """Next (uint8 [B,H,W,C] batch, int32 [B] labels); infinite stream
         (epoch-wrapping), like the reference's ``generate_batch``."""
         self._ensure_started()
-        item = self._queue.get()
-        if item is _PRODUCER_ERROR:
-            raise RuntimeError("data producer failed") from self._error
-        return item
+        while True:
+            try:
+                item = self._queue.get(timeout=1.0)
+            except queue.Empty:
+                # belt-and-braces: even if the error sentinel were lost,
+                # a dead producer must raise, not hang the train loop
+                if self._error is not None:
+                    raise RuntimeError("data producer failed") from self._error
+                if not self._thread.is_alive():
+                    raise RuntimeError("data producer died without error")
+                continue
+            if item is _PRODUCER_ERROR:
+                raise RuntimeError("data producer failed") from self._error
+            return item
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """One epoch, sequentially (no background thread) — for eval loops."""
         order = self._epoch_order(0) if self.shuffle else np.arange(len(self.samples))
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
-            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idxs = order[start:start + self.batch_size]
-                futs = [pool.submit(self._load_one, *self.samples[i], 0, int(i))
-                        for i in idxs]
-                imgs, labels = zip(*[f.result() for f in futs])
-                yield np.stack(imgs), np.asarray(labels, np.int32)
-            rem = len(order) % self.batch_size
-            if rem:
-                idxs = order[-rem:]
-                futs = [pool.submit(self._load_one, *self.samples[i], 0, int(i))
-                        for i in idxs]
-                imgs, labels = zip(*[f.result() for f in futs])
-                yield np.stack(imgs), np.asarray(labels, np.int32)
+            for start in range(0, len(order), self.batch_size):
+                yield self._assemble(pool, order[start:start + self.batch_size], 0)
         finally:
             pool.shutdown(wait=False)
 
@@ -196,7 +210,10 @@ class DataLoader:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-            self._thread = None
+            if not self._thread.is_alive():
+                self._thread = None
+            # else: keep the handle — _ensure_started() replaces queue and
+            # stop event, so the stuck producer stays orphaned and harmless
 
     def __del__(self):
         try:

@@ -70,7 +70,11 @@ class MoEBlock(Layer):
         cap = max(1, int(self.capacity_factor * b / e))
 
         xr = x.astype(jnp.float32)
-        logits = xr @ params["router"].astype(jnp.float32)         # [B, E]
+        # HIGHEST: routing is an argmax over these logits — default (bf16)
+        # MXU precision would route near-tie tokens differently on TPU
+        # than on the CPU test mesh
+        logits = jnp.matmul(xr, params["router"].astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST)   # [B, E]
         probs = jax.nn.softmax(logits, axis=-1)
         top = jnp.argmax(probs, axis=-1)                           # [B]
         onehot = jax.nn.one_hot(top, e, dtype=jnp.float32)         # [B, E]

@@ -38,9 +38,14 @@ def batch_norm2d_init(num_channels: int, dtype=jnp.float32,
         "gamma": jnp.ones((num_channels,), dtype),
         "beta": jnp.zeros((num_channels,), dtype),
     }
+    # moving stats are always f32: they're [C]-sized (off the hot path),
+    # computed in f32, and a bf16 EMA (momentum 0.1) visibly degrades eval;
+    # batch_norm2d keeps whatever dtype the state carries (e.g. restored
+    # legacy checkpoints), so this only sets the default for fresh inits
     state = {
-        "mean": jnp.zeros((num_channels,), dtype),
-        "var": (jnp.zeros if compat_zero_var_init else jnp.ones)((num_channels,), dtype),
+        "mean": jnp.zeros((num_channels,), jnp.float32),
+        "var": (jnp.zeros if compat_zero_var_init
+                else jnp.ones)((num_channels,), jnp.float32),
     }
     return params, state
 
@@ -71,9 +76,16 @@ def batch_norm2d(params: dict, state: dict, x: jnp.ndarray, *,
         # backward pass a full re-reduction over every conv output
         mean = checkpoint_name(mean, "bn_stats")
         var = checkpoint_name(var, "bn_stats")
+        # keep the EMA in the state's own dtype: mixing a non-f32 state
+        # with the f32 batch stats would promote, changing the state
+        # pytree's dtype on the first train step (jit retrace, broken
+        # buffer donation, scan carry mismatch)
+        sdt = state["mean"].dtype
         new_state = {
-            "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
-            "var": (1.0 - momentum) * state["var"] + momentum * var,
+            "mean": ((1.0 - momentum) * state["mean"].astype(jnp.float32)
+                     + momentum * mean).astype(sdt),
+            "var": ((1.0 - momentum) * state["var"].astype(jnp.float32)
+                    + momentum * var).astype(sdt),
         }
     else:
         mean, var = state["mean"], state["var"]

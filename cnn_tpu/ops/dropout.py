@@ -27,6 +27,8 @@ def channel_dropout(x: jnp.ndarray, p: float, *, train: bool,
                     rng: jax.Array | None = None,
                     compat: str = "inverted") -> jnp.ndarray:
     """NHWC channel dropout. ``p`` = drop probability (fraction of channels)."""
+    if compat not in ("reference", "sampled", "inverted"):
+        raise ValueError(f"unknown dropout compat mode: {compat!r}")
     if p <= 0.0:
         return x
     c = x.shape[-1]

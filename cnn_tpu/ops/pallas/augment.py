@@ -49,7 +49,8 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
     and the XLA fallback (jnp.roll) are the same code — they agree exactly.
 
     ``img``: [s, s*c] flattened canvas; ``s1``/``s3``: [s, 1] per-row px
-    shifts; ``s2``: [1, s*c] per-lane px shifts; ``roll(x, shift, axis)``.
+    shifts; ``s2``: [1, lane] per-lane px shifts over the FULL padded
+    extent; ``roll(x, shift, axis)``.
     """
     plc = pad_l * c
     dt = img.dtype
@@ -59,7 +60,6 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
     row_idx = lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
     lane_idx = lax.broadcasted_iota(jnp.int32, (1, lane), 1)
     in_rows = (row_idx >= pad_s) & (row_idx < pad_s + s)
-    in_lanes = (lane_idx >= plc) & (lane_idx < plc + s * c)
 
     def pad_rows(v, fill):
         return jnp.pad(v, ((pad_s, sub - pad_s - s), (0, 0)),
@@ -75,20 +75,30 @@ def _rotate_core(img, s1, s2, s3, *, s, c, sub, lane, pad_s, pad_l, roll):
             x = jnp.where(bit, roll(x, -(c << j), 1), x)
         x = x * (dt.type(1) - a) + roll(x, -c, 1) * a
         x = roll(x, pad_l * c, 1)                  # re-center the window
-        return jnp.where(in_lanes, x, dt.type(0))  # drop wrapped junk
+        # mask only circular-wrap junk: out[u] sourced x[u + (ki-pad_l)*c]
+        # (+c for the 2nd bilinear tap). Content legitimately overflows the
+        # S window into the padding when |theta| > 45 deg (the first
+        # shear's intermediate half-extent h*(1+tan(th/2)) exceeds S/2) —
+        # it must survive into the next shear, not be window-clipped.
+        src = lane_idx + (ki - pad_l) * c
+        ok = (src >= 0) & (src + c < lane)
+        return jnp.where(ok, x, dt.type(0))
 
     def sublane_shear(x, shifts):
-        # out[y, u] = x[y + shifts[u], u]
+        # out[y, u] = x[y + shifts[u], u]; ``shifts`` spans the FULL padded
+        # lane extent (overflow columns carry real content past 45 deg)
         k = jnp.floor(shifts)
-        lane_pad = ((0, 0), (plc, lane - plc - s * c))
-        a = jnp.pad(shifts - k, lane_pad).astype(dt)
-        ki = jnp.pad(k.astype(jnp.int32) + pad_s, lane_pad,
-                     constant_values=pad_s)
+        a = (shifts - k).astype(dt)
+        ki = k.astype(jnp.int32) + pad_s
         for j in range((2 * pad_s).bit_length()):
             bit = ((ki >> j) & 1) == 1
             x = jnp.where(bit, roll(x, -(1 << j), 0), x)
         x = x * (dt.type(1) - a) + roll(x, -1, 0) * a
         x = roll(x, pad_s, 0)
+        # window-mask is exact here: the vertical shear yields the FINAL row
+        # positions (the 3rd shear is horizontal), and rotated content's
+        # vertical half-extent is (cs/f)*f = cs — inside the S window; its
+        # sources never wrap (|shift| <= p2 < pad_s), junk rows lie outside
         return jnp.where(in_rows, x, dt.type(0))
 
     x = lane_shear(x, s1)
@@ -128,14 +138,20 @@ def _geometry(s: int, c: int):
     return dict(s=s, c=c, sub=sub, lane=lane, pad_s=pad_s, pad_l=pad_l)
 
 
-def _shift_vectors(theta: jnp.ndarray, s: int, c: int):
+def _shift_vectors(theta: jnp.ndarray, s: int, c: int,
+                   pad_l: int, lane: int):
     p1, p2, p3 = shear_bounds(s)
     cy = (s - 1) / 2.0
     d = (jnp.arange(s, dtype=jnp.float32) - cy)[None, :]
     m = -jnp.tan(theta / 2.0)[:, None]
     n = jnp.sin(theta)[:, None]
     s1 = jnp.clip(m * d, -p1, p1)[:, :, None]          # [B,S,1] per-row
-    s2 = jnp.repeat(jnp.clip(n * d, -p2, p2), c, axis=1)[:, None, :]
+    # s2 spans the FULL padded lane extent: past 45 deg the first shear's
+    # overflow columns carry real content and must shear by their true
+    # pixel coordinate too (zero-shift padding there clips the corners)
+    px = (jnp.arange(lane, dtype=jnp.int32) - pad_l * c) // c
+    dl = (px.astype(jnp.float32) - cy)[None, :]
+    s2 = jnp.clip(n * dl, -p2, p2)[:, None, :]         # [B,1,LANE] per-lane
     s3 = jnp.clip(m * d, -p3, p3)[:, :, None]
     return s1, s2, s3
 
@@ -145,7 +161,7 @@ def rotate_shear_xla(imgs: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     each pass through HBM, so this is the off-TPU/debug path)."""
     b, s, s2_, c = imgs.shape
     dims = _geometry(s, c)
-    s1, s2, s3 = _shift_vectors(theta, s, c)
+    s1, s2, s3 = _shift_vectors(theta, s, c, dims["pad_l"], dims["lane"])
     flat = imgs.reshape(b, s, s * c)
     out = jax.vmap(lambda im, a1, a2, a3: _rotate_core(
         im, a1, a2, a3, roll=lambda x, k, ax: jnp.roll(x, k, axis=ax),
@@ -162,7 +178,7 @@ def rotate_shear_pallas(imgs: jnp.ndarray, theta: jnp.ndarray,
     b, s, s2_, c = imgs.shape
     assert s == s2_
     dims = _geometry(s, c)
-    s1, s2v, s3 = _shift_vectors(theta, s, c)
+    s1, s2v, s3 = _shift_vectors(theta, s, c, dims["pad_l"], dims["lane"])
     kern = partial(_kernel, **dims)
     flat = imgs.reshape(b, s, s * c)
     out = pl.pallas_call(
@@ -173,7 +189,7 @@ def rotate_shear_pallas(imgs: jnp.ndarray, theta: jnp.ndarray,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, s * c), lambda i: (i, 0, 0),
+                  pl.BlockSpec((1, 1, dims["lane"]), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],

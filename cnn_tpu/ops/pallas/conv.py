@@ -107,7 +107,9 @@ def conv2d_bias_relu_pallas(x, w, b, stride: int = 2, relu: bool = True):
 
 def _vjp_fwd(x, w, b, stride, relu):
     out = _forward(x, w, b, stride, relu)
-    return out, (x, w, out)
+    # the backward only reads `out` for the relu mask — don't pin an
+    # activation-sized residual in HBM for plain conv+bias uses
+    return out, (x, w, out if relu else None)
 
 
 def _vjp_bwd(stride, relu, res, g):
@@ -115,10 +117,14 @@ def _vjp_bwd(stride, relu, res, g):
     if relu:
         g = jnp.where(out > 0, g, jnp.zeros((), g.dtype))  # relu.cpp:30-44 rule
     k = w.shape[0]
+    # f32 gradients need HIGHEST like the forward (and the XLA twin in
+    # ops/conv.py); bf16 takes the fast single-pass MXU path
+    prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     # dx: transposed conv (input-dilated cotangent correlated with flipped w)
     dx = lax.conv_transpose(
         g, w, strides=(stride, stride), padding="VALID",
-        dimension_numbers=DIMENSION_NUMBERS, transpose_kernel=True)
+        dimension_numbers=DIMENSION_NUMBERS, transpose_kernel=True,
+        precision=prec)
     # crop/pad to the exact input extent (VALID discards dangling rows)
     pads = [(0, x.shape[1] - dx.shape[1]), (0, x.shape[2] - dx.shape[2])]
     dx = jnp.pad(dx, ((0, 0), *pads, (0, 0)))
@@ -129,6 +135,7 @@ def _vjp_bwd(stride, relu, res, g):
         window_strides=(1, 1), padding="VALID",
         lhs_dilation=(1, 1), rhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec,
     ).transpose(1, 2, 0, 3)                 # [kh, kw, Cin, Cout]
     # the correlation extent is H-(Ho-1)*stride >= k, with equality only when
     # (H-k) % stride == 0; dangling input rows/cols never touch the kernel, so

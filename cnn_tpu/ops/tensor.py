@@ -33,8 +33,10 @@ def pad2d(x: jnp.ndarray, padding: int = 1, value: float = 0.0) -> jnp.ndarray:
 
 
 def argmax_flat(x: jnp.ndarray) -> jnp.ndarray:
-    """Flat argmax over the whole tensor (reference Tensor3D::argmax)."""
-    return jnp.argmax(x.reshape(x.shape[0], -1) if x.ndim > 1 else x, axis=-1)
+    """Flat argmax over the whole tensor — a scalar index into the
+    row-major buffer, exactly Tensor3D::argmax (data_format.cpp:32-67),
+    which scans one image's full CHW buffer."""
+    return jnp.argmax(x.reshape(-1))
 
 
 def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:

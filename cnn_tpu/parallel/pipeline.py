@@ -96,6 +96,31 @@ def _psum_id_rev(axis, _, ct):
 _psum_id_bwd.defvjp(_psum_id_fwd, _psum_id_rev)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _id_psum_bwd(x, axis):
+    """Identity whose backward is a psum — Megatron's 'f' operator.
+
+    Placed on the column conv's INPUT: forward is the identity (x is
+    replicated over 'model'), but the cotangent each shard computes through
+    its out-channel slice of the column conv is only a PARTIAL of dL/dx —
+    the true gradient is the sum over shards. Without this, every layer
+    upstream of a TP block (earlier trunk blocks, the stem) trains on
+    per-shard partial gradients that silently diverge across 'model'.
+    """
+    return x
+
+
+def _id_psum_fwd(x, axis):
+    return x, None
+
+
+def _id_psum_rev(axis, _, ct):
+    return (lax.psum(ct, axis),)
+
+
+_id_psum_bwd.defvjp(_id_psum_fwd, _id_psum_rev)
+
+
 def tp_split_block(block) -> tuple[Conv2D, Conv2D]:
     """Validate a trunk block for Megatron-style tensor parallelism and
     return its (column, row) conv pair.
@@ -147,6 +172,13 @@ def _tp_body_apply(block, params, state, x, *, train, rng, compute_dtype,
             h = _psum_id_bwd(y, tp_axis) + p["b"].astype(y.dtype)
             after_row = True
             continue
+        if l is col:
+            # Megatron 'f': identity fwd / psum bwd on the column conv's
+            # input — each shard's dL/dh through its out-channel slice is
+            # a partial; the residual path (x below) stays outside so its
+            # already-replicated cotangent is not multiplied by the axis
+            # size
+            h = _id_psum_bwd(h, tp_axis)
         h, s = l.apply(params.get(l.name), (state or {}).get(l.name), h,
                        train=train, rng=layer_rng,
                        compute_dtype=compute_dtype)

@@ -89,10 +89,10 @@ def test_shear_rotation_matches_gather_oracle():
     yy, xx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
     smooth = (0.5 + 0.25 * np.sin(2 * np.pi * yy / p)
               * np.cos(2 * np.pi * xx / p)).astype(np.float32)
-    # content confined (smoothly — bilinear 1-pass vs 3-pass differ O(1)
-    # at hard edges) to the center, as in augment_batch: the pipeline
-    # pre-shrinks by 1/f so rotation never clips content; a full-canvas
-    # image at 75 deg would lose corners mid-shear
+    # content confined smoothly to the center — bilinear 1-pass vs 3-pass
+    # differ O(1) at hard edges, so a soft window keeps the comparison
+    # meaningful (full 1/f-extent content is covered by
+    # test_shear_rotation_preserves_prescaled_content below)
     c0 = (p - 1) / 2.0
     win = np.exp(-(((yy - c0) ** 2 + (xx - c0) ** 2) / (2 * (p / 8.0) ** 2))
                  ).astype(np.float32)
@@ -112,6 +112,51 @@ def test_shear_rotation_matches_gather_oracle():
         m = 10
         dev = np.abs(np.asarray(ours) - np.asarray(ref))[m:-m, m:-m].max()
         assert dev < 2.5e-2, (deg, dev)
+
+
+def test_shear_rotation_preserves_prescaled_content():
+    """Past 45 deg the first shear's intermediate half-extent
+    h*(1+tan(th/2)) exceeds S/2: the overflow lands in the kernel's padding
+    and must survive the remaining shears (it used to be window-clipped,
+    blacking out rotated corners — ~8% of content pixels at 75 deg).
+    Content here fills the full 1/f pre-shrink extent, exactly what
+    augment_batch's placement stage produces (pipeline.cpp:23-33 semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from cnn_tpu.ops.augment import _rotate_shear
+
+    def oracle(img, theta):
+        # one-pass bilinear rotation of sampling coords (the 3-shear path
+        # realizes the OPPOSITE angle sign under this matrix convention;
+        # irrelevant to augmentation, where the sign is a coin flip)
+        p = img.shape[0]
+        cy = (p - 1) / 2.0
+        yy, xx = jnp.meshgrid(jnp.arange(p, dtype=jnp.float32),
+                              jnp.arange(p, dtype=jnp.float32), indexing="ij")
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        sy = cos * (yy - cy) - sin * (xx - cy) + cy
+        sx = sin * (yy - cy) + cos * (xx - cy) + cy
+        def ch(c):
+            return jax.scipy.ndimage.map_coordinates(
+                c, [sy, sx], order=1, mode="constant", cval=0.0)
+        return jax.vmap(ch, in_axes=-1, out_axes=-1)(img)
+
+    s = 96
+    for deg in (50.0, 60.0, 75.0, -75.0):
+        th = float(np.deg2rad(deg))
+        f = abs(np.cos(th)) + abs(np.sin(th))
+        h = int(s / (2 * f)) - 1
+        img = np.zeros((s, s, 3), np.float32)
+        c0 = s // 2
+        img[c0 - h:c0 + h, c0 - h:c0 + h] = 1.0
+        got = np.asarray(_rotate_shear(jnp.asarray(img), jnp.float32(th)))
+        want = np.asarray(oracle(jnp.asarray(img), jnp.float32(-th)))
+        interior = want > 0.999          # strictly inside the rotated square
+        lost = ((got < 0.5) & interior).sum()
+        assert lost == 0, (deg, int(lost))
+        # and total mass is preserved through the three passes
+        assert abs(got.sum() / img.sum() - 1.0) < 2e-2, deg
 
 
 def test_full_policy_composition_matches_gather_version_no_flips():

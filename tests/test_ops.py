@@ -193,6 +193,24 @@ def test_batchnorm_compat_zero_var_init():
     np.testing.assert_array_equal(np.asarray(state["var"]), np.zeros(4))
 
 
+def test_batchnorm_state_dtype_stable_across_steps(rng):
+    """The returned state pytree keeps the input state's dtype — a promote
+    to f32 on step 1 would retrace the jitted step and break buffer
+    donation / scan carries. Fresh inits carry f32 stats even under bf16
+    params (a bf16 EMA at momentum 0.1 visibly degrades eval)."""
+    x = jnp.asarray(rng.standard_normal((2, 3, 3, 4), dtype=np.float32))
+    for dt in (jnp.float32, jnp.bfloat16):
+        params, state = ops.batch_norm2d_init(4, dt)
+        assert state["mean"].dtype == jnp.float32
+        _, s2 = ops.batch_norm2d(params, state, x.astype(dt), train=True)
+        assert jax.tree.map(lambda a: a.dtype, s2) \
+            == jax.tree.map(lambda a: a.dtype, state)
+    # a restored legacy bf16 state keeps ITS dtype, too
+    bstate = jax.tree.map(lambda a: a.astype(jnp.bfloat16), state)
+    _, s3 = ops.batch_norm2d(params, bstate, x, train=True)
+    assert s3["mean"].dtype == jnp.bfloat16
+
+
 def test_batchnorm_grads_match_numerical(rng):
     x = jnp.asarray(rng.standard_normal((3, 4, 4, 2), dtype=np.float32))
     params, state = ops.batch_norm2d_init(2)
@@ -257,3 +275,13 @@ def test_channel_dropout_eval_needs_no_rng():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
     out2 = ops.channel_dropout(x, 0.3, train=False, rng=None, compat="sampled")
     np.testing.assert_allclose(np.asarray(out2), np.asarray(x) * 0.7, rtol=1e-6)
+
+
+def test_channel_dropout_rejects_unknown_compat():
+    """A typo'd compat string must raise, not silently fall through to
+    mismatched train/eval scaling."""
+    import pytest
+    x = jnp.ones((1, 2, 2, 10), jnp.float32)
+    with pytest.raises(ValueError, match="compat"):
+        ops.channel_dropout(x, 0.3, train=True, rng=jax.random.key(0),
+                            compat="invert")

@@ -411,6 +411,43 @@ def test_dp_pp_tp_three_axis_mesh_matches_single_device():
                                rtol=1e-5)
     assert int(ev1["correct"]) == int(evp["correct"])
 
+    # a SECOND train step: after step 1 the (zero-initialized) row convs
+    # are non-zero, so the column conv's input cotangent — the Megatron
+    # 'f' psum path — is live; a missing backward all-reduce diverges here
+    ts2, m2 = step1(ts1, x, y)
+    tsp, mp2 = stepp(tsp, x, y)
+    np.testing.assert_allclose(float(m2["loss"]), float(mp2["loss"]),
+                               rtol=1e-5)
+    assert _max_dev(ts2.params, tsp.params) < 1e-5
+
+
+def test_pp_tp_bn_first_step_matches_single_device():
+    """PP2 x TP2 with BatchNorm and a single data shard: one train step
+    must match the single-device step to float precision. BN gives the
+    first convs non-zero downstream weights immediately, so this exercises
+    the column conv's input-cotangent psum (Megatron 'f') at step 1 —
+    the regression that zero-init BN-free single-step tests masked."""
+    from jax.sharding import Mesh
+    model = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
+                    remat=False, batch_norm=True)
+    opt = optim.sgd(1e-2)
+    ts0 = create_train_state(model, opt, jax.random.key(11))
+    x, y = _data(np.random.default_rng(11))
+
+    step1 = make_train_step(model, opt, donate=False)
+    ts1, m1 = step1(ts0, x, y)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 2, 2),
+                ("data", "stage", "model"))
+    tsp = shard_pp_train_state(ts0, mesh, model)
+    stepp = make_pp_train_step(model, opt, mesh, n_microbatches=1,
+                               donate=False)
+    tsp, mp = stepp(tsp, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]),
+                               rtol=1e-5)
+    assert _max_dev(ts1.params, tsp.params) < 1e-5
+    assert _max_dev(ts1.state, tsp.state) < 1e-5
+
 
 def test_tp_block_forward_exact():
     """The TP'd residual block (column/row conv pair, BN on sharded
