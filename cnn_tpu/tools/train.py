@@ -299,6 +299,7 @@ def _main(argv, preempted):
         # their averaged weights
         assert train_cfg.pipeline_stages <= 1, \
             "--distill-from is not wired into the pipeline-parallel step"
+        from cnn_tpu.utils.checkpoint import tree_has_bn
         # comma-separated lists = ensemble distillation (the target is the
         # mean of the teachers' tempered softmaxes)
         t_ckpts = [c for c in train_cfg.distill_from.split(",") if c]

@@ -177,6 +177,31 @@ def test_train_cli_device_dataset_steps_per_call(tmp_path, capsys):
     assert any(n.startswith("iter_4_") for n in names), names
 
 
+def test_train_cli_distill(tmp_path, capsys):
+    """--distill-from end to end: a tiny BN teacher checkpoint feeds a
+    BN-free student's compiled step (exercises the structural BN
+    auto-detect on the teacher tree — regression: tree_has_bn was
+    referenced without an import)."""
+    from cnn_tpu.tools import train
+    base = ["--image-size", "61", "--total-iters", "2", "--valid-iters", "2",
+            "--save-iters", "2", "--train-batch-size", "4",
+            "--valid-batch-size", "64", "--augment", "false",
+            "--cache", "true", "--num-workers", "2"]
+    tdir = tmp_path / "teacher"
+    assert train.main(base + ["--batch-norm", "true",
+                              "--checkpoint-dir", str(tdir)]) == 0
+    capsys.readouterr()
+    ckpt = [n for n in os.listdir(tdir) if n.endswith(".ckpt")][0]
+    rc = train.main(base + ["--checkpoint-dir", str(tmp_path / "student"),
+                            "--distill-from", str(tdir / ckpt),
+                            "--distill-temp", "2.0",
+                            "--distill-alpha", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "distilling from 1 teacher(s)" in out
+    assert "training done!" in out
+
+
 @needs_reference
 def test_serve_cli_int8(capsys):
     """--int8 serves the quantized graph with the same classifications."""
