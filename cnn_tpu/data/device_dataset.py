@@ -404,7 +404,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
             grads, new_state, loss, correct = accumulate_grads(
                 model, ts.params, ts.state, images, labels, k_model,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
-                label_smoothing=label_smoothing, regroup=regroup)
+                label_smoothing=label_smoothing, regroup=regroup,
+                distill=dst, t_params=t_params, t_state=t_state)
         else:
             k_model, images, mix, dist = mix_and_teacher_targets(
                 k_model, images, mixup=mixup, cutmix=cutmix, distill=dst,

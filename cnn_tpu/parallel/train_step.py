@@ -125,7 +125,8 @@ def make_microbatch_regroup(mesh: Mesh, grad_accum: int):
 
 def accumulate_grads(model, params, state, images, labels, rng, *,
                      grad_accum, compute_dtype=None, remat=False,
-                     label_smoothing=0.0, regroup=None):
+                     label_smoothing=0.0, regroup=None,
+                     distill=None, t_params=None, t_state=None):
     """Mean gradients over ``grad_accum`` sequential microbatches.
 
     ``lax.scan`` re-uses one microbatch's activation memory for all K
@@ -140,6 +141,11 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     statistics are per-microbatch and moving stats update K times per
     step; rng-consuming layers (Dropout) get a distinct key per
     microbatch via ``fold_in``.
+
+    ``distill`` (a ``normalize_distill`` result) runs each teacher's
+    eval forward on every microbatch inside the scan — softmax targets
+    are per-sample and microbatches are equal-sized, so the accumulated
+    KD loss/gradient equals the full-batch computation exactly (tested).
 
     Returns ``(grads, new_state, loss, correct)`` — loss is the mean over
     microbatches, correct the sum (full-batch semantics).
@@ -157,9 +163,12 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     def micro(carry, xs):
         st, gacc, lacc, cacc = carry
         x, y, i = xs
+        _, _, _, dist = mix_and_teacher_targets(
+            rng, x, mixup=0.0, cutmix=0.0, distill=distill,
+            t_params=t_params, t_state=t_state, compute_dtype=compute_dtype)
         (loss, (st, corr)), g = jax.value_and_grad(_loss_fn, has_aux=True)(
             params, st, model, x, y, jax.random.fold_in(rng, i), True,
-            compute_dtype, remat, label_smoothing)
+            compute_dtype, remat, label_smoothing, None, dist)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
         return (st, gacc, lacc + loss, cacc + corr), None
 
@@ -188,7 +197,7 @@ def normalize_distill(distill, *, grad_accum: int = 1):
     if not isinstance(teacher, (list, tuple)):
         teacher = [teacher]
         t_params0, t_state0 = [t_params0], [t_state0]
-    assert grad_accum == 1, "distillation is not wired into grad_accum"
+    del grad_accum  # composes: teachers run per microbatch (accumulate_grads)
     return (list(teacher), list(t_params0), list(t_state0), d_temp, d_alpha)
 
 
@@ -280,7 +289,8 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 model, ts.params, ts.state, images, labels, rng,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 remat=remat, label_smoothing=label_smoothing,
-                regroup=regroup)
+                regroup=regroup, distill=dst, t_params=t_params,
+                t_state=t_state)
         else:
             rng, images, mix, dist = mix_and_teacher_targets(
                 rng, images, mixup=mixup, cutmix=cutmix, distill=dst,

@@ -9,7 +9,6 @@ compression recipe (big teacher -> small serving student).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cnn_tpu import optim
 from cnn_tpu.models import get_model
@@ -108,14 +107,26 @@ def test_device_dataset_distillation(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
-def test_distill_grad_accum_rejected():
-    teacher, t_ts, _, _ = _teacher_and_data()
+def test_distill_grad_accum_matches_full_batch():
+    """KD composes with gradient accumulation: teacher softmax targets are
+    per-sample and microbatches are equal-sized, so K=2 accumulation must
+    reproduce the full-batch distilled step exactly (BN-free student —
+    BN batch statistics are the one intentional microbatch difference)."""
+    teacher, t_ts, imgs, labels = _teacher_and_data()
     student = get_model("alexnet", num_classes=3, image_size=64)
-    opt = optim.make_optimizer("sgd", 1e-3)
-    with pytest.raises(AssertionError):
-        make_train_step(student, opt,
-                        distill=(teacher, t_ts.params, t_ts.state, 2.0, 0.5),
-                        grad_accum=2)
+    opt = optim.make_optimizer("sgd", 1e-2)
+    ts0 = create_train_state(student, opt, jax.random.key(7))
+    dist = (teacher, t_ts.params, t_ts.state, 3.0, 0.25)
+    full = make_train_step(student, opt, donate=False, distill=dist)
+    accum = make_train_step(student, opt, donate=False, distill=dist,
+                            grad_accum=2)
+    ts_f, m_f = full(ts0, imgs, labels)
+    ts_a, m_a = accum(ts0, imgs, labels)
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_a["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_f.params), jax.tree.leaves(ts_a.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
 
 
 def test_distill_dp_mesh_matches_single_device():
