@@ -4,3 +4,4 @@ from cnn_tpu.models.vgg import VGG  # noqa: F401
 from cnn_tpu.models.resnet import ResNet  # noqa: F401
 from cnn_tpu.models.pipecnn import PipeCNN  # noqa: F401
 from cnn_tpu.models.moecnn import MoECNN  # noqa: F401
+from cnn_tpu.models.mobilenet import MobileNet  # noqa: F401

@@ -2,6 +2,7 @@ from cnn_tpu.nn.module import (  # noqa: F401
     AvgPool2D,
     BatchNorm2D,
     Conv2D,
+    DepthwiseConv2D,
     Dropout,
     Flatten,
     GlobalAvgPool,

@@ -103,6 +103,45 @@ class Conv2D(Layer):
 
 
 @dataclass(frozen=True)
+class DepthwiseConv2D(Layer):
+    """Per-channel conv (``feature_group_count=C``) — the depthwise half of a
+    separable conv. A framework superset: the reference's Conv2D is always
+    dense over its input channels (conv2d.cpp:69-92)."""
+    channels: int = 32
+    channel_multiplier: int = 1
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    init_scale: float = 0.1
+
+    def __post_init__(self):
+        object.__setattr__(self, "has_params", True)
+
+    @property
+    def out_channels(self) -> int:
+        return self.channels * self.channel_multiplier
+
+    def init(self, key, dtype=jnp.float32):
+        return ops.depthwise_conv2d_init(
+            key, self.channels, self.channel_multiplier, self.kernel_size,
+            dtype, init_scale=self.init_scale), None
+
+    def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
+        return ops.depthwise_conv2d(params, x, self.stride, compute_dtype,
+                                    padding=self.padding), state
+
+    def out_shape(self, in_shape):
+        h, w, _ = in_shape
+        return (ops.conv_out_size(h, self.kernel_size, self.stride, self.padding),
+                ops.conv_out_size(w, self.kernel_size, self.stride, self.padding),
+                self.out_channels)
+
+    # no param_pspecs: sharding a grouped conv's channel axis over 'model'
+    # splits input AND output channels together; GSPMD handles it, but the
+    # per-shard work is tiny (VPU-bound already) — replicate.
+
+
+@dataclass(frozen=True)
 class MaxPool2D(Layer):
     """kernel/stride max pool (reference: ``MaxPool2D``, pool2d.cpp)."""
     kernel_size: int = 2

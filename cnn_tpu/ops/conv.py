@@ -131,6 +131,55 @@ def conv2d_s2d(params: dict, x: jnp.ndarray, stride: int = 2,
     return checkpoint_name(out + b.astype(out.dtype), "conv_out")
 
 
+def depthwise_conv2d_init(key: jax.Array, channels: int,
+                          channel_multiplier: int = 1, kernel_size: int = 3,
+                          dtype=jnp.float32, init_scale: float = 0.1) -> dict:
+    """Per-channel filter bank: ``w [k, k, 1, C*mult]``, ``b [C*mult]``.
+
+    HWIO with ``feature_group_count=C``: output channel ``g*mult + m`` reads
+    only input channel ``g``. Same N(0,1)*scale init family as ``conv2d_init``
+    (the reference has no grouped convs — its Conv2D is dense over cin,
+    conv2d.cpp:69-92 — so this op is a framework superset)."""
+    assert kernel_size % 2 == 1 and kernel_size >= 1
+    assert channels > 0 and channel_multiplier > 0
+    k_w, k_b = jax.random.split(key)
+    w = jax.random.normal(
+        k_w, (kernel_size, kernel_size, 1, channels * channel_multiplier),
+        dtype) * init_scale
+    b = jax.random.normal(k_b, (channels * channel_multiplier,),
+                          dtype) * init_scale
+    return {"w": w, "b": b}
+
+
+def depthwise_conv2d(params: dict, x: jnp.ndarray, stride: int = 1,
+                     compute_dtype=None, precision=None,
+                     padding: int = 0) -> jnp.ndarray:
+    """Depthwise conv: each input channel convolved with its own ``mult``
+    filters — [B, H, W, C] -> [B, H', W', C*mult].
+
+    XLA lowers ``feature_group_count=C`` grouped convs natively; on TPU a
+    depthwise conv is VPU/bandwidth-bound (one input lane per MAC group, no
+    MXU reuse), which is exactly why MobileNet-style nets trade it for a
+    9x FLOP cut — the pointwise 1x1 that follows is pure MXU."""
+    w, b = params["w"], params["b"]
+    channels = x.shape[-1]
+    assert w.shape[2] == 1 and w.shape[3] % channels == 0, (w.shape, channels)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    if precision is None and x.dtype == jnp.float32:
+        precision = lax.Precision.HIGHEST
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding="VALID" if padding == 0 else [(padding, padding)] * 2,
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=channels,
+        precision=precision,
+    )
+    return checkpoint_name(out + b.astype(out.dtype), "conv_out")
+
+
 def conv2d(params: dict, x: jnp.ndarray, stride: int = 2,
            compute_dtype=None, precision=None, padding: int = 0) -> jnp.ndarray:
     """NHWC conv: [B, H, W, Cin] -> [B, H', W', Cout].

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cnn_tpu.nn.module import BatchNorm2D, Conv2D, Linear
+from cnn_tpu.nn.module import BatchNorm2D, Conv2D, DepthwiseConv2D, Linear
 from cnn_tpu.nn.sequential import Sequential
 
 # ---------------------------------------------------------------- native ----
@@ -191,7 +191,7 @@ def parse_checkpoint_name(name: str):
 
 def _param_layers(net: Sequential):
     for layer in net.layers:
-        if isinstance(layer, (Conv2D, Linear, BatchNorm2D)):
+        if isinstance(layer, (Conv2D, DepthwiseConv2D, Linear, BatchNorm2D)):
             yield layer
 
 
@@ -206,6 +206,9 @@ def reference_param_count(net: Sequential, bn_vectors: int = 4) -> int:
     for layer in _param_layers(net):
         if isinstance(layer, Conv2D):
             n += layer.out_channels * (layer.in_channels * layer.kernel_size ** 2 + 1)
+        elif isinstance(layer, DepthwiseConv2D):
+            # stored like a conv with in_channels=1 (the grouped filter bank)
+            n += layer.out_channels * (layer.kernel_size ** 2 + 1)
         elif isinstance(layer, Linear):
             n += layer.in_features * layer.out_features + layer.out_features
         elif isinstance(layer, BatchNorm2D):
@@ -248,6 +251,13 @@ def import_reference_model(path: str, net: Sequential,
             params[layer.name] = {"w": jnp.asarray(w.copy()),
                                   "b": jnp.asarray(b.copy())}
             last_conv_channels = o
+        elif isinstance(layer, DepthwiseConv2D):
+            o, k = layer.out_channels, layer.kernel_size
+            w = take(o * k * k).reshape(o, 1, k, k).transpose(2, 3, 1, 0)
+            b = take(o)
+            params[layer.name] = {"w": jnp.asarray(w.copy()),
+                                  "b": jnp.asarray(b.copy())}
+            last_conv_channels = o
         elif isinstance(layer, Linear):
             fin, fout = layer.in_features, layer.out_features
             w = take(fin * fout).reshape(fin, fout)
@@ -283,7 +293,7 @@ def export_reference_model(path: str, net: Sequential, params: dict,
     last_conv_channels = None
     for layer in _param_layers(net):
         p = jax.tree_util.tree_map(np.asarray, params[layer.name])
-        if isinstance(layer, Conv2D):
+        if isinstance(layer, (Conv2D, DepthwiseConv2D)):
             chunks.append(np.ascontiguousarray(
                 p["w"].transpose(3, 2, 0, 1)).ravel())  # HWIO -> OIHW
             chunks.append(p["b"].ravel())
