@@ -22,7 +22,7 @@ class MoECNN:
     def __init__(self, num_classes: int = 3, width: int = 64,
                  n_experts: int = 8, expert_hidden: int = 256,
                  image_size: int = 224, batch_norm: bool = True,
-                 capacity_factor: float = 2.0):
+                 capacity_factor: float = 2.0, balance_coeff: float = 0.0):
         self.num_classes = num_classes
         self.image_size = image_size
         layers = []
@@ -38,7 +38,8 @@ class MoECNN:
         layers += [
             GlobalAvgPool("gap"),
             MoEBlock("moe", dim=width, hidden=expert_hidden,
-                     n_experts=n_experts, capacity_factor=capacity_factor),
+                     n_experts=n_experts, capacity_factor=capacity_factor,
+                     balance_coeff=balance_coeff),
             Linear("linear_1", in_features=width, out_features=num_classes),
         ]
         self.net = Sequential(layers)

@@ -18,9 +18,15 @@ equivalence tests pin the math to the unsharded layer.
 
 Router balance: the router gradient flows through the combine probabilities
 (Switch top-1); per-expert load fractions are exposed in the layer state for
-monitoring. An auxiliary balance loss is deliberately omitted at this model
-scale (documented divergence from Switch; with E<=8 and thousands of tokens
-per batch, collapse does not occur in practice here — tested).
+monitoring (the train CLI logs them to the history at every validation).
+The standard Switch auxiliary balance loss is available behind
+``balance_coeff`` (Fedus et al. 2021 eq. 4: ``coeff * E * sum_e f_e * P_e``
+with f the dispatch fractions and P the mean router probs) but DEFAULTS OFF:
+at this model scale (E<=8, thousands of tokens per batch) the measured load
+stats stay balanced without it — BASELINE.md §r4 records the A/B. When on,
+the layer writes the differentiable term into its state under 'aux_loss'
+and the train step adds it to the objective
+(``parallel.train_step.collect_aux_losses``).
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ class MoEBlock(Layer):
     hidden: int = 256
     n_experts: int = 8
     capacity_factor: float = 2.0
+    balance_coeff: float = 0.0   # Switch aux balance loss (0 = off)
 
     def __post_init__(self):
         object.__setattr__(self, "has_params", True)
@@ -62,6 +69,8 @@ class MoEBlock(Layer):
             "b2": jnp.zeros((e, d), dtype),
         }
         state = {"load": jnp.full((e,), 1.0 / e, jnp.float32)}
+        if self.balance_coeff > 0.0:
+            state["aux_loss"] = jnp.zeros((), jnp.float32)
         return params, state
 
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
@@ -99,7 +108,18 @@ class MoEBlock(Layer):
             + params["b2"][:, None, :].astype(w_dtype)             # [E, C, D]
         y = jnp.einsum("bec,ecd->bd", combine.astype(w_dtype), ye)
 
-        new_state = {"load": jnp.mean(onehot, axis=0)} if train else state
+        if train:
+            f = jnp.mean(onehot, axis=0)
+            new_state = {"load": f}
+            if self.balance_coeff > 0.0:
+                # Switch eq. 4: E * sum_e f_e * P_e — minimized at uniform
+                # load; f is piecewise-constant (argmax) so the gradient
+                # flows through P, pushing router probs toward balance
+                p_mean = jnp.mean(probs, axis=0)
+                new_state["aux_loss"] = (self.balance_coeff * e
+                                         * jnp.sum(f * p_mean))
+        else:
+            new_state = state
         return x + y.astype(x.dtype), new_state
 
     def out_shape(self, in_shape):

@@ -42,6 +42,22 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
                       step=jnp.zeros((), jnp.int32), rng=k_train)
 
 
+def collect_aux_losses(new_state) -> jnp.ndarray:
+    """Sum every 'aux_loss' scalar a layer wrote into its fresh state
+    (e.g. the MoE balance loss, nn/moe.py). Called INSIDE the
+    differentiated loss so the terms train their layers; zero when no
+    layer opted in."""
+    total = jnp.zeros((), jnp.float32)
+    if not isinstance(new_state, dict):
+        return total
+    for k, v in new_state.items():
+        if k == "aux_loss":
+            total = total + v
+        elif isinstance(v, dict):
+            total = total + collect_aux_losses(v)
+    return total
+
+
 def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
              remat=False, label_smoothing=0.0, mix=None, distill=None):
     apply = model.apply
@@ -76,6 +92,8 @@ def _loss_fn(params, state, model, images, labels, rng, train, compute_dtype,
         t_probs, temp, alpha = distill
         loss = alpha * loss + (1.0 - alpha) * distillation_loss_from_probs(
             logits, t_probs, temp)
+    if train:
+        loss = loss + collect_aux_losses(new_state)
     correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels).astype(jnp.int32))
     return loss, (new_state, correct)
 
