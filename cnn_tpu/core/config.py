@@ -27,6 +27,12 @@ class ModelConfig:
     # execute lane-starved stride-2 convs as space-to-depth + stride-1
     # (exact repack; AlexNet family) — see ops/conv.py:conv2d_s2d
     space_to_depth: bool = False
+    moe_balance: float = 0.0   # Switch aux balance-loss coefficient for the
+                               # moecnn family (0 = off; load stats are
+                               # logged either way — nn/moe.py)
+    width: float = 0.0         # family width override (pipecnn/moecnn trunk
+                               # channels, mobilenet multiplier; 0 = default)
+    n_blocks: int = 0          # pipecnn trunk depth override (0 = default)
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for MXU-friendly training
@@ -121,9 +127,12 @@ class TrainConfig:
     spatial_parallel: int = 1       # shard activation rows (SP for CNNs);
                                     # XLA inserts conv halo exchanges
     expert_parallel: int = 1        # shard MoE experts over an 'expert' axis
-    pipeline_stages: int = 1        # GPipe stages over a 'stage' axis
+    pipeline_stages: int = 1        # pipeline stages over a 'stage' axis
                                     # (models with a StackedBlocks trunk)
-    microbatches: int = 4           # GPipe microbatches per step
+    microbatches: int = 4           # pipeline microbatches per step
+    pipeline_schedule: str = "gpipe"  # 'gpipe' (all-forward-then-backward)
+                                      # | '1f1b' (memory-bounded: live
+                                      # activations O(stages), not O(M))
     multihost: bool = False         # jax.distributed.initialize() for multi-host
                                     # slices (same SPMD code; DCN joins the mesh)
     coordinator: str = ""           # host:port of process 0 ('' = from env)

@@ -160,7 +160,15 @@ def _main(argv, preempted):
                       dropout=model_cfg.dropout,
                       image_size=model_cfg.image_size,
                       **({"space_to_depth": True}
-                         if model_cfg.space_to_depth else {}))
+                         if model_cfg.space_to_depth else {}),
+                      **({"balance_coeff": model_cfg.moe_balance}
+                         if model_cfg.moe_balance > 0.0 else {}),
+                      **({"width": (int(model_cfg.width)
+                                    if float(model_cfg.width).is_integer()
+                                    else model_cfg.width)}
+                         if model_cfg.width > 0 else {}),
+                      **({"n_blocks": model_cfg.n_blocks}
+                         if model_cfg.n_blocks > 0 else {}))
     opt = optim.make_optimizer(train_cfg.optimizer, train_cfg.learning_rate,
                                train_cfg.momentum,
                                schedule=train_cfg.lr_schedule,
@@ -181,35 +189,30 @@ def _main(argv, preempted):
     n_dev = len(jax.devices())
     mesh = pp_mesh = None
     if train_cfg.pipeline_stages > 1:
-        # GPipe pipeline parallelism (parallel/pipeline.py): its own
-        # ('data', 'stage') mesh and explicit-collective train step
+        # GPipe/1F1B pipeline parallelism (parallel/pipeline.py): its own
+        # ('data', 'stage') mesh and explicit-collective train step. The
+        # full toolbox composes here — device-resident dataset, device
+        # augmentation, mixup/cutmix, distillation, grad accumulation,
+        # steps-per-call, TTA eval (round-4 work; tests/test_pipeline.py)
         from jax.sharding import Mesh as _Mesh
-        assert not data_cfg.device_dataset, \
-            "--pipeline-stages uses the host-loader path"
-        assert not device_augment, \
-            "--pipeline-stages augments in the host loader (drop --device-augment)"
-        assert train_cfg.mixup == 0.0 and train_cfg.cutmix == 0.0, \
-            "--mixup/--cutmix are not wired into the pipeline-parallel step"
-        assert train_cfg.grad_accum <= 1, \
-            "--grad-accum is not wired into the pipeline-parallel step " \
-            "(raise --microbatches instead: GPipe microbatching already " \
-            "bounds per-stage activation memory)"
         stages = train_cfg.pipeline_stages
         dp = train_cfg.data_parallel or max(1, n_dev // stages)
-        # the real constraint is PER DATA SHARD: each shard's sub-batch
-        # must split into the GPipe microbatches
-        assert train_cfg.train_batch_size % dp == 0, \
-            f"--train-batch-size {train_cfg.train_batch_size} must divide " \
-            f"over {dp} data shards"
-        assert (train_cfg.train_batch_size // dp) % train_cfg.microbatches \
+        # the real constraint is PER DATA SHARD PER ACCUMULATION CHUNK:
+        # each chunk's sub-batch must split into the GPipe microbatches
+        assert train_cfg.train_batch_size % (dp * train_cfg.grad_accum) \
             == 0, \
-            f"per-shard batch {train_cfg.train_batch_size // dp} must " \
-            f"divide into {train_cfg.microbatches} microbatches"
+            f"--train-batch-size {train_cfg.train_batch_size} must divide " \
+            f"over {dp} data shards x {train_cfg.grad_accum} accum chunks"
+        per_chunk = train_cfg.train_batch_size // dp // train_cfg.grad_accum
+        assert per_chunk % train_cfg.microbatches == 0, \
+            f"per-shard per-chunk batch {per_chunk} must divide into " \
+            f"{train_cfg.microbatches} microbatches"
         devs = jax.devices()[:dp * stages]
         pp_mesh = _Mesh(np.asarray(devs).reshape(dp, stages),
                         ("data", "stage"))
         print(f"pipeline mesh: {dict(pp_mesh.shape)} "
-              f"(microbatches {train_cfg.microbatches})")
+              f"(microbatches {train_cfg.microbatches}, "
+              f"schedule {train_cfg.pipeline_schedule})")
     elif (n_dev > 1 or train_cfg.model_parallel > 1
             or train_cfg.spatial_parallel > 1
             or train_cfg.expert_parallel > 1):
@@ -297,8 +300,6 @@ def _main(argv, preempted):
         # knowledge distillation: the teacher's eval-mode forward fuses
         # into the compiled train step; EMA-trained teachers contribute
         # their averaged weights
-        assert train_cfg.pipeline_stages <= 1, \
-            "--distill-from is not wired into the pipeline-parallel step"
         from cnn_tpu.utils.checkpoint import tree_has_bn
         # comma-separated lists = ensemble distillation (the target is the
         # mean of the teachers' tempered softmaxes)
@@ -337,26 +338,48 @@ def _main(argv, preempted):
         # train set shards over the mesh's 'data' axis (each chip samples
         # its sub-batch from local HBM); valid stays unsharded so epoch
         # iteration needs no padding
+        ds_mesh = pp_mesh if pp_mesh is not None else mesh
         device_train_ds = DeviceDataset(splits["train"], canvas,
-                                        data_cfg.num_workers, mesh=mesh)
+                                        data_cfg.num_workers, mesh=ds_mesh)
         device_valid_ds = DeviceDataset(splits["valid"], data_cfg.image_size,
                                         data_cfg.num_workers)
-        step_fn = make_device_train_step(
-            model, opt, device_train_ds, train_cfg.train_batch_size,
-            compute_dtype=compute_dtype, augment_fn=augment_fn,
-            donate=train_cfg.donate,
-            label_smoothing=train_cfg.label_smoothing, mesh=mesh,
-            sample_mode=data_cfg.sample_mode,
-            steps_per_call=train_cfg.steps_per_call,
-            grad_accum=train_cfg.grad_accum,
-            mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
-            distill=distill)
+        if pp_mesh is not None:
+            # the fastest input path feeds the pipelined model: on-device
+            # sampling + augmentation fused into the PP step
+            from cnn_tpu.parallel import make_pp_train_step
+            step_fn = make_pp_train_step(
+                model, opt, pp_mesh,
+                n_microbatches=train_cfg.microbatches,
+                compute_dtype=compute_dtype, donate=train_cfg.donate,
+                label_smoothing=train_cfg.label_smoothing,
+                grad_accum=train_cfg.grad_accum,
+                mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
+                distill=distill, dataset=device_train_ds,
+                batch_size=train_cfg.train_batch_size,
+                augment_fn=augment_fn, sample_mode=data_cfg.sample_mode,
+                steps_per_call=train_cfg.steps_per_call,
+                schedule=train_cfg.pipeline_schedule)
+        else:
+            step_fn = make_device_train_step(
+                model, opt, device_train_ds, train_cfg.train_batch_size,
+                compute_dtype=compute_dtype, augment_fn=augment_fn,
+                donate=train_cfg.donate,
+                label_smoothing=train_cfg.label_smoothing, mesh=mesh,
+                sample_mode=data_cfg.sample_mode,
+                steps_per_call=train_cfg.steps_per_call,
+                grad_accum=train_cfg.grad_accum,
+                mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
+                distill=distill)
     elif pp_mesh is not None:
         from cnn_tpu.parallel import make_pp_train_step
         step_fn = make_pp_train_step(
             model, opt, pp_mesh, n_microbatches=train_cfg.microbatches,
             compute_dtype=compute_dtype, donate=train_cfg.donate,
-            label_smoothing=train_cfg.label_smoothing)
+            label_smoothing=train_cfg.label_smoothing,
+            grad_accum=train_cfg.grad_accum,
+            mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
+            distill=distill, augment_fn=augment_fn,
+            schedule=train_cfg.pipeline_schedule)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,
@@ -370,9 +393,9 @@ def _main(argv, preempted):
         # M=1 for eval (bubble-only pipelining gains nothing there); the
         # eval step zero-pads ragged final validation batches internally
         from cnn_tpu.parallel import make_pp_eval_step
-        assert not train_cfg.tta, "--tta is not wired into the pipeline eval step"
         eval_fn = make_pp_eval_step(model, pp_mesh, n_microbatches=1,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    tta=train_cfg.tta)
     else:
         eval_fn = make_eval_step(model, compute_dtype=compute_dtype,
                                  mesh=mesh, tta=train_cfg.tta)
@@ -467,10 +490,19 @@ def _main(argv, preempted):
                     v_loss, v_acc = evaluate(eval_fn, eval_params, ts.state,
                                              valid_loader)
                 print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
+                # MoE router monitoring (nn/moe.py): per-expert dispatch
+                # fractions from the last train step's state — the measured
+                # record behind the no-balance-loss default
+                moe_loads = {n: np.asarray(s["load"]).round(4).tolist()
+                             for n, s in ts.state.items()
+                             if isinstance(s, dict) and "load" in s}
+                for n, ld in moe_loads.items():
+                    print(f"MoE load [{n}]: {ld}")
                 history.log(step=it, loss=mean_loss.get(),
                             accuracy=train_eval.get(), valid_loss=v_loss,
                             valid_accuracy=v_acc,
-                            images_per_sec=timer.images_per_sec)
+                            images_per_sec=timer.images_per_sec,
+                            **({"moe_load": moe_loads} if moe_loads else {}))
                 if it % train_cfg.save_iters == 0:
                     name = checkpoint_name(it, train_eval.get(), v_acc)
                     path = os.path.join(train_cfg.checkpoint_dir, name)

@@ -234,6 +234,50 @@ def test_train_cli_pipeline_stages(tmp_path, capsys):
     assert "training done!" in out
 
 
+def test_train_cli_pipeline_1f1b(tmp_path, capsys):
+    """--pipeline-schedule 1f1b: the memory-bounded schedule from the CLI."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--name", "pipecnn", "--batch-norm", "true",
+                     "--image-size", "32", "--total-iters", "2",
+                     "--valid-iters", "2", "--save-iters", "2",
+                     "--train-batch-size", "8", "--valid-batch-size", "64",
+                     "--pipeline-stages", "4", "--microbatches", "2",
+                     "--data-parallel", "2",
+                     "--pipeline-schedule", "1f1b",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--augment", "false", "--cache", "true",
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "schedule 1f1b" in out
+    assert "training done!" in out
+
+
+def test_train_cli_pipeline_device_dataset(tmp_path, capsys):
+    """The round-4 composition from the CLI: --pipeline-stages x
+    --device-dataset x on-device augmentation x --steps-per-call x
+    --grad-accum x --ema x --tta — the fastest input path feeding the
+    deepest-model path (VERDICT r3 item 1), all previously assert-fenced."""
+    from cnn_tpu.tools import train
+    rc = train.main(["--name", "pipecnn", "--batch-norm", "true",
+                     "--image-size", "32", "--canvas-size", "40",
+                     "--total-iters", "4",
+                     "--valid-iters", "4", "--save-iters", "4",
+                     "--train-batch-size", "16", "--valid-batch-size", "64",
+                     "--pipeline-stages", "2", "--microbatches", "2",
+                     "--data-parallel", "2", "--grad-accum", "2",
+                     "--steps-per-call", "2", "--ema", "0.99",
+                     "--tta", "hflip",
+                     "--device-dataset", "true", "--augment", "true",
+                     "--augment-mode", "fast", "--sample-mode", "epoch",
+                     "--checkpoint-dir", str(tmp_path),
+                     "--num-workers", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pipeline mesh: {'data': 2, 'stage': 2}" in out
+    assert "training done!" in out
+
+
 def test_train_cli_expert_parallel(tmp_path, capsys):
     """--expert-parallel: MoE experts shard over the 'expert' mesh axis."""
     from cnn_tpu.tools import train
