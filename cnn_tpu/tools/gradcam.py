@@ -44,17 +44,140 @@ DEFAULT_IMAGES = [
 from cnn_tpu.ops.tensor import minmax_normalize as _minmax
 
 
+def _slice_block(tree, i: int):
+    """Block ``i``'s params/state slice of a stacked ``[L, ...]`` pytree."""
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def _apply_layers(layers, params, state, h):
+    for l in layers:
+        h, _ = l.apply(params.get(l.name), (state or {}).get(l.name), h,
+                       train=False)
+    return h
+
+
+def parse_layer_path(model, layer_path: str):
+    """Validate a capture path against ``model``; raises ValueError.
+
+    Accepted forms: a top-level layer name ('conv_layer_3'), or a position
+    inside a scanned StackedBlocks trunk: 'trunk/block_<i>' (the block's
+    output) or 'trunk/block_<i>/<body_layer>' (an activation inside the
+    block's body, e.g. 'trunk/block_3/b_conv1').
+    """
+    from cnn_tpu.nn.module import ResidualBlock, StackedBlocks
+    names = [l.name for l in model.net.layers]
+    parts = layer_path.split("/")
+    if parts[0] not in names:
+        raise ValueError(f"layer '{parts[0]}' not in model; "
+                         f"choose one of: {', '.join(names)}")
+    if len(parts) == 1:
+        return (parts[0], None, None)
+    trunk = model.net[parts[0]]
+    if not isinstance(trunk, StackedBlocks):
+        raise ValueError(f"'{parts[0]}' is not a scanned trunk; nested "
+                         "paths address StackedBlocks layers only")
+    if len(parts) > 3 or not parts[1].startswith("block_"):
+        raise ValueError(f"bad trunk path '{layer_path}' (want "
+                         f"'{parts[0]}/block_<i>[/<body_layer>]')")
+    i = int(parts[1].split("_")[-1])
+    if not 0 <= i < trunk.n_blocks:
+        raise ValueError(f"block index {i} out of range "
+                         f"[0, {trunk.n_blocks})")
+    sub = parts[2] if len(parts) == 3 else None
+    if sub is not None:
+        if not isinstance(trunk.block, ResidualBlock):
+            raise ValueError("body-layer capture needs a ResidualBlock "
+                             f"trunk block, got {type(trunk.block).__name__}")
+        body_names = [l.name for l in trunk.block.body.layers]
+        if sub not in body_names:
+            raise ValueError(f"'{sub}' not in the trunk block's body; "
+                             f"choose one of: {', '.join(body_names)}")
+    return (parts[0], i, sub)
+
+
+def _forward_with_capture(model, params, state, x, layer_path: str):
+    """Forward with activation capture at ``layer_path``.
+
+    Returns ``(logits, fmap, resume)`` where ``resume(act)`` replays the
+    network tail from the capture point (the canonical Grad-CAM weights
+    are ``jax.grad`` of ``resume(act)[0, class]``).
+
+    A plain layer name captures that top-level layer's output (the
+    reference's only capability, alexnet.cpp:95-142 — its model is a flat
+    list). A 'trunk/block_<i>[/<body_layer>]' path captures INSIDE a
+    scanned StackedBlocks trunk: the scan is unrolled at the requested
+    index so per-block conv activations of deep trunks (pipecnn) are
+    addressable — the r3 verdict's Grad-CAM gap.
+    """
+    name, i, sub = parse_layer_path(model, layer_path)
+    layers = list(model.net.layers)
+    names = [l.name for l in layers]
+
+    if i is None:  # top-level capture: the original flat-model path
+        logits, _, captured = model.apply(params, state, x, train=False,
+                                          capture=(name,))
+        fmap = captured[name]
+        after = layers[names.index(name) + 1:]
+
+        def resume(act):
+            return _apply_layers(after, params, state, act)
+
+        return logits, fmap, resume
+
+    trunk = model.net[name]
+    ti = names.index(name)
+    h = _apply_layers(layers[:ti], params, state, x)
+    tp, tst = params[name], (state or {}).get(name)
+    for j in range(i):
+        h, _ = trunk.block.apply(
+            _slice_block(tp, j), _slice_block(tst, j) if tst else None, h,
+            train=False)
+    block_in = h
+    bp = _slice_block(tp, i)
+    bs = _slice_block(tst, i) if tst else None
+    tail = layers[ti + 1:]
+
+    def finish_blocks(hh, start):
+        for j in range(start, trunk.n_blocks):
+            hh, _ = trunk.block.apply(
+                _slice_block(tp, j), _slice_block(tst, j) if tst else None,
+                hh, train=False)
+        return _apply_layers(tail, params, state, hh)
+
+    if sub is None:  # the block's output
+        fmap, _ = trunk.block.apply(bp, bs, block_in, train=False)
+
+        def resume(act):
+            return finish_blocks(act, i + 1)
+    else:  # an activation inside the block's body
+        block = trunk.block
+        body = list(block.body.layers)
+        k = [l.name for l in body].index(sub)
+        body_p, body_s = bp["body"], (bs or {}).get("body")
+        fmap = _apply_layers(body[:k + 1], body_p, body_s, block_in)
+
+        def resume(act):
+            y = _apply_layers(body[k + 1:], body_p, body_s, act)
+            if block.proj is not None:
+                sc, _ = block.proj.apply(bp["proj"], None, block_in,
+                                         train=False)
+            else:
+                sc = block_in
+            return finish_blocks(block.combine(y, sc), i + 1)
+
+    return resume(fmap), fmap, resume
+
+
 def compute_cam(model, params, state, x: jnp.ndarray, layer_name: str,
                 mode: str = "gradcam", class_idx: int | None = None
                 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (cam [H,W] in 0..1, probs [C]) for a single image [1,H,W,C]."""
+    """Returns (cam [H,W] in 0..1, probs [C]) for a single image [1,H,W,C].
 
-    def forward_with_capture(xx):
-        logits, _, captured = model.apply(params, state, xx, train=False,
-                                          capture=(layer_name,))
-        return logits, captured[layer_name]
-
-    logits, fmap = forward_with_capture(x)
+    ``layer_name`` may address a top-level layer or a position inside a
+    scanned trunk — see ``_forward_with_capture``.
+    """
+    logits, fmap, resume = _forward_with_capture(model, params, state, x,
+                                                 layer_name)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
 
     if mode == "reference":
@@ -62,22 +185,9 @@ def compute_cam(model, params, state, x: jnp.ndarray, layer_name: str,
         weights = jnp.mean(fmap[0], axis=(0, 1))
     elif mode == "gradcam":
         k = int(jnp.argmax(probs)) if class_idx is None else class_idx
-
-        def score_from_act(act):
-            # replay the network tail from the captured activation, so the
-            # grad is d score[k] / d fmap (canonical Grad-CAM weights)
-            out = act
-            seen = False
-            for layer in model.net.layers:
-                if seen:
-                    out, _ = layer.apply(params.get(layer.name),
-                                         state.get(layer.name), out,
-                                         train=False)
-                if layer.name == layer_name:
-                    seen = True
-            return out[0, k]
-
-        grads = jax.grad(score_from_act)(fmap)
+        # replay the network tail from the captured activation, so the
+        # grad is d score[k] / d fmap (canonical Grad-CAM weights)
+        grads = jax.grad(lambda act: resume(act)[0, k])(fmap)
         weights = jnp.mean(grads[0], axis=(0, 1))
     else:
         raise ValueError(f"unknown CAM mode '{mode}'")
@@ -106,21 +216,33 @@ def main(argv=None):
     ap.add_argument("--model", default="alexnet",
                     help="model family (alexnet | vgg8 | resnet10 | ...)")
     ap.add_argument("--layer", default="conv_layer_3",
-                    help="capture layer (e.g. block_4 for resnet10)")
+                    help="capture layer: a top-level name (block_4 for "
+                         "resnet10), or inside a scanned trunk: "
+                         "trunk/block_3 or trunk/block_3/b_conv1 (pipecnn)")
     ap.add_argument("--mode", default="gradcam", choices=["gradcam", "reference"])
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--output-dir", default="output")
     ap.add_argument("--batch-norm", action="store_true",
                     help="checkpoint was trained with BatchNorm layers")
+    ap.add_argument("--width", type=int, default=0,
+                    help="trunk width (pipecnn checkpoints; 0 = family default)")
+    ap.add_argument("--n-blocks", type=int, default=0,
+                    help="trunk depth (pipecnn checkpoints; 0 = family default)")
     args = ap.parse_args(argv)
     categories = args.categories.split(",")
 
+    kwargs = {}
+    if args.width:
+        kwargs["width"] = args.width
+    if args.n_blocks:
+        kwargs["n_blocks"] = args.n_blocks
     model = get_model(args.model, num_classes=len(categories),
-                      image_size=args.image_size, batch_norm=args.batch_norm)
-    layer_names = [l.name for l in model.net.layers]
-    if args.layer not in layer_names:
-        ap.error(f"--layer '{args.layer}' not in model '{args.model}'; "
-                 f"choose one of: {', '.join(layer_names)}")
+                      image_size=args.image_size, batch_norm=args.batch_norm,
+                      **kwargs)
+    try:
+        parse_layer_path(model, args.layer)
+    except ValueError as e:
+        ap.error(f"--layer '{args.layer}': {e}")
     params, state = load_params(args.checkpoint, model)
     os.makedirs(args.output_dir, exist_ok=True)
 
