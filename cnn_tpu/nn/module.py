@@ -127,8 +127,9 @@ class DepthwiseConv2D(Layer):
             dtype, init_scale=self.init_scale), None
 
     def apply(self, params, state, x, *, train, rng=None, compute_dtype=None):
-        return ops.depthwise_conv2d(params, x, self.stride, compute_dtype,
-                                    padding=self.padding), state
+        return ops.depthwise_conv2d(
+            params, x, self.stride, compute_dtype, padding=self.padding,
+            channel_multiplier=self.channel_multiplier), state
 
     def out_shape(self, in_shape):
         h, w, _ = in_shape

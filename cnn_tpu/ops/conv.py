@@ -152,18 +152,29 @@ def depthwise_conv2d_init(key: jax.Array, channels: int,
 
 
 def depthwise_conv2d(params: dict, x: jnp.ndarray, stride: int = 1,
-                     compute_dtype=None, precision=None,
-                     padding: int = 0) -> jnp.ndarray:
+                     compute_dtype=None, precision=None, padding: int = 0,
+                     channel_multiplier: int | None = None) -> jnp.ndarray:
     """Depthwise conv: each input channel convolved with its own ``mult``
     filters — [B, H, W, C] -> [B, H', W', C*mult].
 
     XLA lowers ``feature_group_count=C`` grouped convs natively; on TPU a
     depthwise conv is VPU/bandwidth-bound (one input lane per MAC group, no
     MXU reuse), which is exactly why MobileNet-style nets trade it for a
-    9x FLOP cut — the pointwise 1x1 that follows is pure MXU."""
+    9x FLOP cut — the pointwise 1x1 that follows is pure MXU.
+
+    ``channel_multiplier``: the layer's declared multiplier. Divisibility
+    alone is too weak a guard — an x with HALF the channels the bank was
+    built for still divides ``w.shape[3]`` and would silently run as a
+    grouped conv with twice the multiplier (r3 advisor finding); the exact
+    relation ``w.shape[3] == C * mult`` rejects it."""
     w, b = params["w"], params["b"]
     channels = x.shape[-1]
     assert w.shape[2] == 1 and w.shape[3] % channels == 0, (w.shape, channels)
+    if channel_multiplier is not None:
+        assert w.shape[3] == channels * channel_multiplier, (
+            f"depthwise filter bank {w.shape} was built for "
+            f"{w.shape[3] // channel_multiplier} channels x mult "
+            f"{channel_multiplier}; input has {channels} channels")
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)

@@ -12,12 +12,22 @@ Recurses through composite layers (ResidualBlock) and scanned stacks
 
 from __future__ import annotations
 
-from cnn_tpu.nn.module import (Conv2D, Linear, ResidualBlock, StackedBlocks)
+from cnn_tpu.nn.module import (Conv2D, DepthwiseConv2D, Linear,
+                               ResidualBlock, StackedBlocks)
 
 
 def _walk(layers, shape, total_fwd, total_train, first):
     for layer in layers:
-        if isinstance(layer, Conv2D):
+        if isinstance(layer, DepthwiseConv2D):
+            # grouped-conv MACs (each output channel reads ONE input
+            # channel): these are conv MACs, not excluded VPU elementwise —
+            # omitting them under-reports mobilenet FLOPs/MFU (r3 advisor)
+            ho, wo, _ = layer.out_shape(shape)
+            f = 2.0 * ho * wo * layer.kernel_size ** 2 * layer.out_channels
+            total_fwd += f
+            total_train += f * (2.0 if first else 3.0)
+            first = False
+        elif isinstance(layer, Conv2D):
             ho, wo, _ = layer.out_shape(shape)
             f = 2.0 * ho * wo * layer.kernel_size ** 2 \
                 * layer.in_channels * layer.out_channels
