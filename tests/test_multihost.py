@@ -23,6 +23,28 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
+def test_two_process_pipeline_and_epoch_sampler():
+    """VERDICT r3 item 6: the round-3 surfaces across REAL process
+    boundaries — the PP train step with 'data' spanning processes, the
+    3-axis DP x PP x TP mesh, and the epoch sampler's exactly-once
+    property over process-local shards (2 processes x 4 virtual devices)."""
+    outs = _run_processes(lambda port, pid: [
+        "-m", "cnn_tpu.tools.multihost_pp_smoke",
+        "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid)],
+        n_local_devices=4)
+    pp_losses, pp3_losses = set(), set()
+    for out in outs:
+        assert "EPOCH OK" in out, out[-3000:]
+        pp_losses.add(next(l for l in out.splitlines()
+                           if l.startswith("PP OK")).split("loss=")[1])
+        pp3_losses.add(next(l for l in out.splitlines()
+                            if l.startswith("PP3 OK")).split("loss=")[1])
+    # replicated losses identical across processes (one SPMD program)
+    assert len(pp_losses) == 1 and len(pp3_losses) == 1, outs
+
+
 def _spawn(args, n_local_devices=2):
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
@@ -33,9 +55,11 @@ def _spawn(args, n_local_devices=2):
                             text=True)
 
 
-def _run_processes(make_args, num_processes=2, timeout=240):
+def _run_processes(make_args, num_processes=2, timeout=240,
+                   n_local_devices=2):
     port = _free_port()
-    procs = [_spawn(make_args(port, pid)) for pid in range(num_processes)]
+    procs = [_spawn(make_args(port, pid), n_local_devices)
+             for pid in range(num_processes)]
     outs = []
     for p in procs:
         try:
