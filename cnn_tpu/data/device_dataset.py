@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_tpu.data.loader import DataLoader
+from cnn_tpu.optim import ema_update_state
 
 
 class DeviceDataset:
@@ -416,6 +417,7 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 ts.params, ts.state, model, images, labels, k_model, True,
                 compute_dtype, False, label_smoothing, mix, dist)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_opt = ema_update_state(new_opt, new_state)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct,
                         "batch": jnp.int32(batch_size)}

@@ -37,10 +37,19 @@ def sgd(learning_rate: float) -> Optimizer:
 
 
 class EmaState(NamedTuple):
-    """Wrapper optimizer state: inner optimizer state + the EMA weights."""
+    """Wrapper optimizer state: inner optimizer state + the EMA weights.
+
+    ``mstate`` is the matching EMA of the MODEL state (BN moving stats,
+    ``parallel.train_step`` feeds it via ``ema_update_state``); ``decay``
+    rides along so that update needs no out-of-band config. Both default
+    for unpickling pre-round-4 checkpoints; ``ema_seed_model_state``
+    materializes the missing ``mstate`` at load/warm-start time (keeping
+    the jitted step's carry structure stable)."""
     inner: Any
     ema: Any
     count: jnp.ndarray
+    decay: Any = None
+    mstate: Any = None
 
 
 def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
@@ -64,7 +73,7 @@ def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
                         ema=jax.tree_util.tree_map(
                             lambda p: jnp.array(p, jnp.float32, copy=True),
                             params),
-                        count=jnp.zeros((), jnp.int32))
+                        count=jnp.zeros((), jnp.int32), decay=d)
 
     def update(grads, opt_state, params):
         new_params, inner = opt.update(grads, opt_state.inner, params)
@@ -73,9 +82,72 @@ def with_ema(opt: Optimizer, decay: float = 0.999) -> Optimizer:
         ema = jax.tree_util.tree_map(
             lambda e, p: eff * e + (1.0 - eff) * p.astype(jnp.float32),
             opt_state.ema, new_params)
-        return new_params, EmaState(inner=inner, ema=ema, count=count)
+        return new_params, opt_state._replace(inner=inner, ema=ema,
+                                              count=count)
 
     return Optimizer(init, update)
+
+
+def ema_update_state(opt_state, new_state):
+    """EMA the MODEL state alongside the weight EMA (same decay/warmup).
+
+    Evaluating EMA weights against the raw run's BatchNorm moving
+    statistics is inconsistent: the EMA weights average the last ~1/(1-d)
+    steps' trajectory while the moving stats track the CURRENT weights'
+    activation distribution. Measured on pipecnn w256 L8 (8 stacked BN
+    residual blocks, lr 1.5e-2 cosine): at iter 3000 the raw weights score
+    valid 0.705 / loss 1.31 while the EMA weights scored 0.445 / loss 11.2
+    against the raw stats — the mismatch compounds per block. The standard
+    production fix (e.g. timm's ModelEmaV2) averages ALL model variables,
+    buffers included; ``ema_model_state`` then serves the consistent pair.
+
+    Called by every train step right after ``optimizer.update``; a no-op
+    unless ``opt_state`` is an ``EmaState``. Non-float leaves copy through.
+    A legacy ``mstate=None`` (pre-round-4 checkpoint resume) initializes
+    from the incoming state.
+    """
+    if not isinstance(opt_state, EmaState):
+        return opt_state
+    d = (jnp.float32(0.999) if opt_state.decay is None
+         else jnp.float32(opt_state.decay))
+    # update() already advanced count for this step
+    eff = jnp.minimum(d, (1.0 + opt_state.count) / (10.0 + opt_state.count))
+
+    def to_f32(s):
+        return jax.tree_util.tree_map(
+            lambda x: (jnp.array(x, jnp.float32, copy=True)
+                       if jnp.issubdtype(x.dtype, jnp.floating) else x),
+            s)
+
+    if opt_state.mstate is None:
+        return opt_state._replace(mstate=to_f32(new_state))
+    mstate = jax.tree_util.tree_map(
+        lambda m, s: (eff * m + (1.0 - eff) * s.astype(jnp.float32)
+                      if jnp.issubdtype(s.dtype, jnp.floating) else s),
+        opt_state.mstate, new_state)
+    return opt_state._replace(mstate=mstate)
+
+
+def ema_seed_model_state(opt_state, state):
+    """Materialize a missing ``EmaState.mstate`` from ``state`` (host-side,
+    at checkpoint load / warm start) WITHOUT advancing the average when it
+    is already present. The jitted train step's opt_state pytree structure
+    must be stable before the first trace: a lazy first fill inside a
+    steps-per-call ``lax.scan`` would change the carry structure mid-scan
+    and fail to trace (data/device_dataset.py:425, parallel/pipeline.py:852).
+    """
+    if isinstance(opt_state, EmaState) and opt_state.mstate is None:
+        return ema_update_state(opt_state, state)  # seeds an f32 copy
+    return opt_state
+
+
+def ema_model_state(opt_state, fallback=None):
+    """The EMA'd model state (BN moving stats) if present, else
+    ``fallback`` — evaluate/serve EMA weights with THIS state, never the
+    raw run's (see ``ema_update_state``)."""
+    if isinstance(opt_state, EmaState) and opt_state.mstate is not None:
+        return opt_state.mstate
+    return fallback
 
 
 def with_frozen(opt: Optimizer, prefixes) -> Optimizer:

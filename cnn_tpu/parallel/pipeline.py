@@ -73,7 +73,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cnn_tpu.nn.module import BatchNorm2D, Conv2D, StackedBlocks
 from cnn_tpu.nn.sequential import Sequential
 from cnn_tpu.ops.losses import softmax_cross_entropy
-from cnn_tpu.optim import Optimizer
+from cnn_tpu.optim import Optimizer, ema_update_state
 from cnn_tpu.parallel.train_step import TrainState, _prep
 
 
@@ -795,6 +795,7 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
                 t_states)
             new_params, new_opt = optimizer.update(grads, ts.opt_state,
                                                    ts.params)
+            new_opt = ema_update_state(new_opt, new_state)
             new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1,
                                 ts.rng)
             return new_ts, {"loss": loss, "correct": correct}
@@ -841,6 +842,7 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
         grads, new_state, loss, correct = compute_grads(
             ts.params, ts.state, images, labels, k_model, t_params, t_states)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_opt = ema_update_state(new_opt, new_state)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1,
                             ts.rng)
         return new_ts, {"loss": loss, "correct": correct,

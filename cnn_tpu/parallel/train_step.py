@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_tpu.ops.preprocess import uint8_to_float
-from cnn_tpu.optim import Optimizer
+from cnn_tpu.optim import Optimizer, ema_update_state
 
 
 class TrainState(NamedTuple):
@@ -37,8 +37,11 @@ def create_train_state(model, optimizer: Optimizer, key: jax.Array,
                        dtype=jnp.float32) -> TrainState:
     k_init, k_train = jax.random.split(key)
     params, state = model.init(k_init, dtype)
-    return TrainState(params=params, state=state,
-                      opt_state=optimizer.init(params),
+    # seed the EMA'd model state eagerly (no-op for non-EMA optimizers) so
+    # the opt_state pytree structure is stable from step 0 — a lazy first
+    # materialization inside the jitted step would force a recompile
+    opt_state = ema_update_state(optimizer.init(params), state)
+    return TrainState(params=params, state=state, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32), rng=k_train)
 
 
@@ -319,6 +322,7 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 ts.params, ts.state, model, images, labels, rng, True,
                 compute_dtype, remat, label_smoothing, mix, dist)
         new_params, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_opt = ema_update_state(new_opt, new_state)
         new_ts = TrainState(new_params, new_state, new_opt, ts.step + 1, ts.rng)
         return new_ts, {"loss": loss, "correct": correct}
 

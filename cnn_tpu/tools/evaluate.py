@@ -64,7 +64,9 @@ def main(argv=None):
         p = optim.ema_params(ts.opt_state)
         if p is not None:
             print(f"{path}: evaluating the EMA-averaged weights")
-            return p, ts.state
+            # pair with the EMA'd BN stats (optim.ema_update_state);
+            # legacy checkpoints without them fall back to the raw state
+            return p, optim.ema_model_state(ts.opt_state, ts.state)
         return ts.params, ts.state
 
     from cnn_tpu.utils.checkpoint import tree_has_bn

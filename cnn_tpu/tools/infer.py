@@ -39,12 +39,12 @@ def load_params(checkpoint: str, model, use_ema: bool = False):
         return import_reference_model(checkpoint, model.net)
     ts = load_checkpoint(checkpoint)
     if use_ema:
-        from cnn_tpu.optim import ema_params
+        from cnn_tpu.optim import ema_model_state, ema_params
         ema = ema_params(ts.opt_state)
         if ema is None:
             raise ValueError(f"{checkpoint} has no EMA state "
                              "(trained without --ema)")
-        return ema, ts.state
+        return ema, ema_model_state(ts.opt_state, ts.state)
     return ts.params, ts.state
 
 

@@ -245,6 +245,12 @@ def _main(argv, preempted):
     start_iters = train_cfg.start_iters
     if resume and os.path.exists(resume):
         ts = load_checkpoint(resume)
+        # legacy pre-round-4 --ema checkpoints lack the EMA'd model state;
+        # seed it HERE (host-side, before sharding) so the jitted step's
+        # opt_state structure is stable — a lazy fill inside a
+        # steps-per-call lax.scan would change the carry pytree mid-scan
+        ts = ts._replace(opt_state=optim.ema_seed_model_state(
+            ts.opt_state, ts.state))
         if pp_mesh is not None:
             from cnn_tpu.parallel import shard_pp_train_state
             ts = shard_pp_train_state(ts, pp_mesh, model)
@@ -315,7 +321,8 @@ def _main(argv, preempted):
             t_ts = load_checkpoint(ck)
             p = optim.ema_params(t_ts.opt_state)
             t_params.append(t_ts.params if p is None else p)
-            t_states.append(t_ts.state)
+            t_states.append(t_ts.state if p is None else
+                            optim.ema_model_state(t_ts.opt_state, t_ts.state))
             # the teacher's BN-ness is a property of its checkpoint, not of
             # the student config: detect it structurally from the saved
             # param tree ({gamma, beta} subtrees — utils.checkpoint)
@@ -480,14 +487,19 @@ def _main(argv, preempted):
             if it % train_cfg.valid_iters == 0:
                 print("\nvalidating...")
                 eval_params = optim.ema_params(ts.opt_state)
-                eval_params = ts.params if eval_params is None else eval_params
+                # EMA weights MUST pair with the EMA'd BN moving stats —
+                # the raw run's stats track the current weights' activation
+                # distribution, not the average's (optim.ema_update_state)
+                eval_state = optim.ema_model_state(ts.opt_state, ts.state)
+                if eval_params is None:
+                    eval_params, eval_state = ts.params, ts.state
                 if device_mode:
                     v_loss, v_acc = evaluate_device(eval_fn, eval_params,
-                                                    ts.state,
+                                                    eval_state,
                                                     device_valid_ds,
                                                     train_cfg.valid_batch_size)
                 else:
-                    v_loss, v_acc = evaluate(eval_fn, eval_params, ts.state,
+                    v_loss, v_acc = evaluate(eval_fn, eval_params, eval_state,
                                              valid_loader)
                 print(f"Valid===> [loss {v_loss:.3f}] [Accuracy {v_acc:.3f}]")
                 # MoE router monitoring (nn/moe.py): per-expert dispatch
@@ -541,8 +553,10 @@ def _main(argv, preempted):
                                  cache=data_cfg.cache)
         confusion = ConfusionMatrix(model_cfg.num_classes)
         test_params = optim.ema_params(ts.opt_state)
-        test_params = ts.params if test_params is None else test_params
-        t_loss, t_acc = evaluate(eval_fn, test_params, ts.state, test_loader,
+        test_state = optim.ema_model_state(ts.opt_state, ts.state)
+        if test_params is None:
+            test_params, test_state = ts.params, ts.state
+        t_loss, t_acc = evaluate(eval_fn, test_params, test_state, test_loader,
                                  confusion)
         print(f"Test===> [loss {t_loss:.3f}] [Accuracy {t_acc:.3f}]")
         print("confusion matrix (rows = truth):")

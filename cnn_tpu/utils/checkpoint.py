@@ -166,8 +166,13 @@ def warm_start(train_state, path: str, optimizer=None):
     copied, skipped = [], []
     params = merge(train_state.params, src.params, "", copied, skipped)
     state = merge(train_state.state, src.state, "", copied, skipped)
-    opt_state = (optimizer.init(params) if optimizer is not None
-                 else train_state.opt_state)
+    if optimizer is not None:
+        # seed the EMA'd model state (no-op for non-EMA optimizers) so the
+        # opt_state structure is stable before the first jitted-step trace
+        from cnn_tpu.optim import ema_seed_model_state
+        opt_state = ema_seed_model_state(optimizer.init(params), state)
+    else:
+        opt_state = train_state.opt_state
     return (train_state._replace(params=params, state=state,
                                  opt_state=opt_state),
             copied, skipped)
