@@ -128,16 +128,26 @@ def ema_update_state(opt_state, new_state):
     return opt_state._replace(mstate=mstate)
 
 
-def ema_seed_model_state(opt_state, state):
+def ema_seed_model_state(opt_state, state, decay=None):
     """Materialize a missing ``EmaState.mstate`` from ``state`` (host-side,
     at checkpoint load / warm start) WITHOUT advancing the average when it
     is already present. The jitted train step's opt_state pytree structure
     must be stable before the first trace: a lazy first fill inside a
     steps-per-call ``lax.scan`` would change the carry structure mid-scan
     and fail to trace (data/device_dataset.py:425, parallel/pipeline.py:852).
+
+    ``decay`` backfills a legacy (pre-round-4) state's missing decay field
+    from the live run's ``--ema`` flag — also a load-time-only concern:
+    filling it inside the jitted step would change the carry structure,
+    and without it ``ema_update_state`` falls back to 0.999, averaging the
+    BN stats over a different horizon than the weight EMA whenever the run
+    used a non-default decay.
     """
-    if isinstance(opt_state, EmaState) and opt_state.mstate is None:
-        return ema_update_state(opt_state, state)  # seeds an f32 copy
+    if isinstance(opt_state, EmaState):
+        if opt_state.decay is None and decay is not None:
+            opt_state = opt_state._replace(decay=jnp.float32(decay))
+        if opt_state.mstate is None:
+            return ema_update_state(opt_state, state)  # seeds an f32 copy
     return opt_state
 
 

@@ -385,7 +385,7 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
 
     Compute: the deferred backward recomputes its chunk forward once — the
     same FLOP trade as ``remat=True``; schedule-equality is tested against
-    GPipe in tests/test_pipeline.py (M=1 and microbatched, BN included).
+    GPipe in tests/test_1f1b.py (M=1 and microbatched, BN included).
 
     Semantics notes: BN batch statistics are per-microbatch exactly as in
     GPipe (the recomputed forward re-derives identical stats from the same
@@ -581,7 +581,7 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
     on 'stage', everything else replicated).
 
     Toolbox composition (each mirrors the non-PP step's semantics exactly
-    and is equivalence-tested in tests/test_pipeline.py):
+    and is equivalence-tested in tests/test_pp_compose.py):
 
     - ``grad_accum > 1``: the batch splits into K shard-local chunks
       (``make_microbatch_regroup``); each chunk runs the full M-microbatch

@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--num-classes", type=int, default=3)
     ap.add_argument("--batch-norm", type=lambda s: s.lower() in ("1", "true"),
                     default=False)
+    ap.add_argument("--use-ema", action="store_true",
+                    help="export the EMA weights (paired with the EMA'd BN "
+                         "stats) from an --ema training run")
     args = ap.parse_args(argv)
 
     model = get_model("alexnet", num_classes=args.num_classes,
@@ -45,7 +48,14 @@ def main(argv=None):
         print(f"imported {args.src} -> {args.dst}")
     else:
         ts = load_checkpoint(args.src)
-        export_reference_model(args.dst, model.net, ts.params, ts.state)
+        params, state = ts.params, ts.state
+        if args.use_ema:
+            params = optim.ema_params(ts.opt_state)
+            if params is None:
+                sys.exit(f"{args.src} has no EMA state (trained without "
+                         "--ema)")
+            state = optim.ema_model_state(ts.opt_state, ts.state)
+        export_reference_model(args.dst, model.net, params, state)
         print(f"exported {args.src} -> {args.dst} (reference .model format)")
     return 0
 

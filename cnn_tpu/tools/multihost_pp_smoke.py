@@ -84,7 +84,7 @@ def main(argv=None):
     print(f"PP OK loss={loss:.6f}", flush=True)
 
     # ---- 3-axis DP x PP x TP, the data axis still across processes ----
-    if stages % 4 == 0 or (stages >= 4):
+    if stages >= 4:
         mesh3 = Mesh(np.asarray(devs).reshape(dp, stages // 2, 2),
                      ("data", "stage", "model"))
         tmodel = PipeCNN(num_classes=3, width=8, n_blocks=stages,

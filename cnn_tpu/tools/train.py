@@ -193,7 +193,7 @@ def _main(argv, preempted):
         # ('data', 'stage') mesh and explicit-collective train step. The
         # full toolbox composes here — device-resident dataset, device
         # augmentation, mixup/cutmix, distillation, grad accumulation,
-        # steps-per-call, TTA eval (round-4 work; tests/test_pipeline.py)
+        # steps-per-call, TTA eval (round-4 work; tests/test_pp_compose.py)
         from jax.sharding import Mesh as _Mesh
         stages = train_cfg.pipeline_stages
         dp = train_cfg.data_parallel or max(1, n_dev // stages)
@@ -250,7 +250,8 @@ def _main(argv, preempted):
         # opt_state structure is stable — a lazy fill inside a
         # steps-per-call lax.scan would change the carry pytree mid-scan
         ts = ts._replace(opt_state=optim.ema_seed_model_state(
-            ts.opt_state, ts.state))
+            ts.opt_state, ts.state,
+            decay=train_cfg.ema if train_cfg.ema > 0.0 else None))
         if pp_mesh is not None:
             from cnn_tpu.parallel import shard_pp_train_state
             ts = shard_pp_train_state(ts, pp_mesh, model)

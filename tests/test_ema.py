@@ -162,6 +162,16 @@ def test_ema_legacy_checkpoint_without_mstate(tmp_path):
     eff = min(0.999, 6.0 / 15.0)
     np.testing.assert_allclose(np.asarray(upd2.mstate["bn"]["mean"]),
                                eff * 0.5 + (1 - eff) * 1.0, rtol=1e-6)
+    # ema_seed_model_state backfills the missing decay from the live --ema
+    # flag (load-time only — filling it inside the jitted step would change
+    # the scan carry structure), so the BN-stat EMA horizon matches the
+    # weight EMA's instead of falling back to 0.999
+    seeded = optim.ema_seed_model_state(legacy, st, decay=0.99)
+    assert float(seeded.decay) == np.float32(0.99)
+    assert seeded.mstate is not None
+    # and never clobbers a decay that is already present
+    kept = optim.ema_seed_model_state(seeded, st, decay=0.5)
+    assert float(kept.decay) == np.float32(0.99)
 
 
 def test_ema_eval_pairs_params_with_mstate(tmp_path):
@@ -242,6 +252,37 @@ def test_warm_start_seeds_ema_model_state(tmp_path):
     warmed, copied, _ = warm_start(fresh, ck, opt)
     assert copied
     assert warmed.opt_state.mstate is not None
+
+
+def test_convert_cli_exports_ema_pair(tmp_path):
+    """convert --use-ema writes the EMA weights + EMA'd BN stats to the
+    reference .model format (what a reference user deploying an --ema run
+    on the C++ loader needs)."""
+    from cnn_tpu.tools import convert
+    from cnn_tpu.utils.checkpoint import import_reference_model, save_checkpoint
+
+    model = get_model("alexnet", num_classes=3, batch_norm=True)
+    opt = optim.with_ema(optim.make_optimizer("momentum", 5e-2, 0.9),
+                         decay=0.9)
+    ts = create_train_state(model, opt, jax.random.key(8))
+    step = make_train_step(model, opt, donate=False)
+    r = np.random.default_rng(8)
+    x = jnp.asarray(r.integers(0, 256, (4, 224, 224, 3), dtype=np.uint8))
+    y = jnp.asarray(r.integers(0, 3, (4,), dtype=np.int32))
+    for _ in range(2):
+        ts, _ = step(ts, x, y)
+    ck = os.path.join(tmp_path, "e.ckpt")
+    out = os.path.join(tmp_path, "e.model")
+    save_checkpoint(ck, ts)
+    assert convert.main([ck, out, "--batch-norm", "true", "--use-ema"]) == 0
+    p2, s2 = import_reference_model(out, model.net)
+    ema = optim.ema_params(ts.opt_state)
+    np.testing.assert_allclose(
+        np.asarray(p2["conv_layer_1"]["w"]),
+        np.asarray(ema["conv_layer_1"]["w"]).astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s2["bn_layer_1"]["mean"]),
+        np.asarray(ts.opt_state.mstate["bn_layer_1"]["mean"]), rtol=1e-6)
 
 
 def test_train_cli_ema_smoke(tmp_path, capsys):
