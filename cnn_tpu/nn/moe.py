@@ -21,9 +21,12 @@ Router balance: the router gradient flows through the combine probabilities
 monitoring (the train CLI logs them to the history at every validation).
 The standard Switch auxiliary balance loss is available behind
 ``balance_coeff`` (Fedus et al. 2021 eq. 4: ``coeff * E * sum_e f_e * P_e``
-with f the dispatch fractions and P the mean router probs) but DEFAULTS OFF:
-at this model scale (E<=8, thousands of tokens per batch) the measured load
-stats stay balanced without it — BASELINE.md §r4 records the A/B. When on,
+with f the dispatch fractions and P the mean router probs) but DEFAULTS OFF.
+The measured A/B (BASELINE.md §r4) says: without it the router DOES collapse
+at this scale (2 of 8 experts dead, max load 4.4x uniform) — but accuracy is
+unaffected (best valid 0.960 vs 0.957, test 0.947 vs 0.930), so the default
+stays off for single-chip quality. Turn it on (0.01 is measured neutral) for
+expert-parallel runs, where dead experts are idle chips. When on,
 the layer writes the differentiable term into its state under 'aux_loss'
 and the train step adds it to the objective
 (``parallel.train_step.collect_aux_losses``).
