@@ -30,10 +30,13 @@ Two schedules:
   gradient gather/scatter traffic). Memory: autodiff saves every tick's
   residuals — live activations grow O(M).
 - ``'1f1b'``: memory-bounded pipelining — the backward is hand-scheduled
-  (one forward and one deferred, recompute-based backward per tick), so
-  live activations are a ring buffer of ``2S - 1`` stage inputs, O(S) and
-  INDEPENDENT of M. Same math (tests assert equality to GPipe); the
-  recompute costs the ``remat=True`` FLOP trade. Live-set arithmetic in
+  as the classic warmup/steady/drain 1F1B (three static-length scans;
+  each steady iteration runs one forward and one deferred,
+  recompute-based backward sub-slot), so live activations are a ring
+  buffer of ``2S - 1`` stage inputs, O(S) and INDEPENDENT of M, and the
+  bubble is the classic ``2(S-1)`` chunk-applies per stage. Same math
+  (tests assert equality to GPipe); the recompute costs the
+  ``remat=True`` FLOP trade. Schedule + live-set arithmetic in
   ``_make_1f1b_device_fn``'s docstring.
 
 BatchNorm caveat (standard GPipe semantics): with M > 1 microbatches, BN
@@ -363,11 +366,31 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
     ``M + S - 1`` forward ticks before the reverse pipeline starts — live
     activations grow linearly in the microbatch count M. 1F1B instead
     hand-schedules the backward: the last stage back-propagates microbatch
-    i in the SAME tick its forward completes, the cotangent hops backward
-    one stage per tick, and each stage's deferred backward re-derives its
-    chunk's vjp at the saved stage INPUT (activation checkpointing at
-    stage granularity — the within-chunk residuals live only for the one
-    tick that consumes them).
+    i in the SAME sub-slot its forward completes, the cotangent hops
+    backward one stage per sub-slot, and each stage's deferred backward
+    re-derives its chunk's vjp at the saved stage INPUT (activation
+    checkpointing at stage granularity — the within-chunk residuals live
+    only for the one sub-slot that consumes them).
+
+    Schedule (classic warmup/steady/drain, as THREE static-length scans so
+    every stage runs the same SPMD program with uniform collectives):
+
+      - warmup, ``S - 1`` forward-only sub-slots: F-counts ``0 .. S-2``;
+      - steady, ``M`` iterations of one F then one B sub-slot: iteration
+        ``i`` runs F-count ``S - 1 + i`` and B-count ``i`` — the last
+        stage's head+loss vjp seeds B(i) from F(i, last chunk) completed
+        in the same iteration (``count_F - count_B = S - 1`` throughout,
+        exactly the seed-availability bound);
+      - drain, ``S - 1`` backward-only sub-slots: B-counts ``M .. M+S-2``.
+
+    Stage s's work at F-count n is microbatch ``n - s``; at B-count n it
+    is microbatch ``n - (S-1-s)`` — both bijections, so every stage's
+    sub-slots are fully packed except the 2(S-1) edge slots that ARE the
+    pipeline bubble. Wall cost: ``2M + 2S - 2`` chunk-applies per stage
+    (ideal 2M), i.e. HALF the bubble of the uniform-tick eager schedule
+    (one F and one B every tick, ``2M + 4S - 4``) this replaced in r4 —
+    the warmup/drain sub-slots no longer pay for a masked garbage
+    partner apply.
 
     Live-set arithmetic, per stage (microbatch activation = one chunk
     input, ``mb x H x W x C``):
@@ -375,13 +398,13 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
         residuals — O(M) for M >> S; the per-tick residual set follows the
         trunk's remat policy (~2 conv outputs/block at remat='conv').
       - 1F1B (this schedule): a ring buffer of ``2S - 1`` saved chunk
-        inputs + one in-tick vjp working set — O(S), INDEPENDENT of M.
-        (The in-flight bound is 2(S-1-s)+1 at stage s; the buffer is sized
-        for stage 0. The classic warmup/steady/cooldown 1F1B holds S-s; the
-        eager variant used here trades that factor-2 for a schedule every
-        stage can run as the same SPMD tick program: F of microbatch
-        ``t - s`` and B of microbatch ``t - (2S-2-s)`` per tick, total
-        ``T = M + 2S - 2`` ticks.)
+        inputs + one in-slot vjp working set — O(S), INDEPENDENT of M.
+        (In-flight bound 2(S-1-s)+1 at stage s — buffer sized for stage 0.
+        The textbook per-device warmup of ``S - s`` forwards would bound
+        it by S - s, but a per-device warmup LENGTH is a per-device
+        program, and collectives may not diverge across devices; the
+        uniform S-1 warmup is the price of the SPMD formulation — it
+        costs buffer slots, not bubble.)
 
     Compute: the deferred backward recomputes its chunk forward once — the
     same FLOP trade as ``remat=True``; schedule-equality is tested against
@@ -399,7 +422,6 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
 
     M = n_microbatches
     BUF = 2 * S - 1
-    T = M + 2 * S - 2
     trunk_name = trunk.name
     has_state = trunk.has_state
 
@@ -469,22 +491,25 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
         perm_f = [(i, (i + 1) % S) for i in range(S)]
         perm_b = [(i, (i - 1) % S) for i in range(S)]
 
-        def tick(carry, t):
-            (act_in, cot_in, buf, st, g_tr, g_hd, d_stem, loss,
-             corr) = carry
-            # -------- forward: F(t - s, s) --------
-            fmb = t - s
+        def f_sub(carry, n_f):
+            """One forward sub-slot: F-count ``n_f`` is F(n_f - s, s) —
+            chunk apply, input save, last-stage head+loss vjp (the seed
+            for the same steady iteration's B sub-slot), forward hop."""
+            (act_in, cot, buf, st, g_tr, g_hd, d_stem, loss, corr,
+             _seed) = carry
+            fmb = n_f - s
             f_valid = jnp.logical_and(fmb >= 0, fmb < M)
             fidx = jnp.clip(fmb, 0, M - 1)
             inp = jnp.where(s == 0, x_mb[fidx], act_in)
             y_out, new_st = chunk_fwd(t_params, st, inp)
             if has_state:
-                # bubble ticks process garbage: mask their stat updates
+                # bubble sub-slots process garbage: mask their stat updates
                 st = jax.tree.map(lambda n, o: jnp.where(f_valid, n, o),
                                   new_st, st)
             wslot = fidx % BUF
             buf = buf.at[wslot].set(jnp.where(f_valid, inp, buf[wslot]))
-            # -------- last stage: head+loss, seed the cotangent --------
+            # last stage: head+loss on the completed forward, seeding the
+            # cotangent this iteration's B sub-slot consumes
             l_i, head_pull, c_i = jax.vjp(
                 lambda hp, o: mb_loss(hp, o, fidx), head_params, y_out,
                 has_aux=True)
@@ -494,8 +519,16 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
             corr = corr + jnp.where(live, c_i, 0)
             g_hd = jax.tree.map(lambda a, d: a + jnp.where(live, d, 0.0),
                                 g_hd, d_hp)
-            # -------- backward: B(t - (2S-2-s), s) --------
-            bmb = t - (2 * S - 2 - s)
+            act_nxt = lax.ppermute(y_out, "stage", perm_f)
+            return (act_nxt, cot, buf, st, g_tr, g_hd, d_stem, loss, corr,
+                    seed_cot)
+
+        def b_sub(carry, n_b):
+            """One backward sub-slot: B-count ``n_b`` is B(n_b - (S-1-s), s)
+            — recompute-based chunk vjp at the saved input, backward hop."""
+            (act, cot_in, buf, st, g_tr, g_hd, d_stem, loss, corr,
+             seed_cot) = carry
+            bmb = n_b - (S - 1 - s)
             b_valid = jnp.logical_and(bmb >= 0, bmb < M)
             bidx = jnp.clip(bmb, 0, M - 1)
             x_saved = buf[bidx % BUF]
@@ -512,21 +545,30 @@ def _make_1f1b_device_fn(stem, trunk, head, *, S: int, n_microbatches: int,
             d_stem = d_stem.at[bidx].set(
                 jnp.where(jnp.logical_and(s == 0, b_valid), d_x,
                           d_stem[bidx]))
-            act_nxt = lax.ppermute(y_out, "stage", perm_f)
             cot_nxt = lax.ppermute(d_x, "stage", perm_b)
-            return (act_nxt, cot_nxt, buf, st, g_tr, g_hd, d_stem, loss,
-                    corr), None
+            return (act, cot_nxt, buf, st, g_tr, g_hd, d_stem, loss, corr,
+                    seed_cot)
 
         zero_mb = jnp.zeros_like(x_mb[0])
-        carry0 = (zero_mb, zero_mb,
-                  jnp.zeros((BUF,) + zero_mb.shape, zero_mb.dtype),
-                  state.get(trunk_name),
-                  jax.tree.map(jnp.zeros_like, t_params),
-                  jax.tree.map(jnp.zeros_like, head_params),
-                  jnp.zeros((M,) + zero_mb.shape, zero_mb.dtype),
-                  jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
-        (_, _, _, trunk_state, g_tr, g_hd, d_stem, loss, corr), _ = lax.scan(
-            tick, carry0, jnp.arange(T))
+        carry = (zero_mb, zero_mb,
+                 jnp.zeros((BUF,) + zero_mb.shape, zero_mb.dtype),
+                 state.get(trunk_name),
+                 jax.tree.map(jnp.zeros_like, t_params),
+                 jax.tree.map(jnp.zeros_like, head_params),
+                 jnp.zeros((M,) + zero_mb.shape, zero_mb.dtype),
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                 zero_mb)
+        # warmup: S-1 forward-only sub-slots (F-counts 0 .. S-2)
+        carry, _ = lax.scan(lambda c, n: (f_sub(c, n), None), carry,
+                            jnp.arange(S - 1))
+        # steady: M iterations of F(S-1+i) then B(i) — the 1f1b core
+        carry, _ = lax.scan(
+            lambda c, i: (b_sub(f_sub(c, S - 1 + i), i), None), carry,
+            jnp.arange(M))
+        # drain: S-1 backward-only sub-slots (B-counts M .. M+S-2)
+        carry, _ = lax.scan(lambda c, n: (b_sub(c, n), None), carry,
+                            jnp.arange(M, M + S - 1))
+        (_, _, _, trunk_state, g_tr, g_hd, d_stem, loss, corr, _) = carry
 
         # head grads live on the last stage only; stem-output cotangents on
         # stage 0 only — psum over 'stage' broadcasts both
