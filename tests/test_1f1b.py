@@ -180,3 +180,66 @@ def test_1f1b_mixup_matches_gpipe():
     np.testing.assert_allclose(float(m_g["loss"]), float(m_f["loss"]),
                                rtol=1e-6)
     assert _max_dev(ts_g.params, ts_f.params) < 1e-6
+
+
+def test_1f1b_dp_pp_tp_three_axis_matches_gpipe():
+    """DP2 x PP2 x TP2 under the 1F1B schedule. The hand-scheduled
+    backward re-derives each chunk's vjp with ``jax.vjp`` INSIDE the
+    shard_map body, so the Megatron f/g custom-VJP collectives (column
+    conv's input-cotangent psum over 'model', row conv's forward psum)
+    must differentiate correctly inside the deferred backward — the one
+    TP surface the GPipe-only 3-axis test (test_pipeline.py) never
+    touches. Two steps so the zero-init row convs go live and the 'f'
+    backward all-reduce carries signal; grads/params must match GPipe
+    on the SAME mesh to float precision."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
+                    remat=False, batch_norm=False)
+    opt = optim.make_optimizer("momentum", 1e-2, 0.9)
+    ts0 = create_train_state(model, opt, jax.random.key(26))
+    x, y = _data(np.random.default_rng(26))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "stage", "model"))
+    # TP placement sanity: column conv's out-channels shard over 'model'
+    ts_g = shard_pp_train_state(ts0, mesh, model)
+    w_col = ts_g.params["trunk"]["body"]["b_conv1"]["w"]
+    assert w_col.sharding.spec == (("stage",) + (None,) * 3 + ("model",))
+
+    step_g = make_pp_train_step(model, opt, mesh, n_microbatches=2,
+                                donate=False, schedule="gpipe")
+    ts_f = shard_pp_train_state(ts0, mesh, model)
+    step_f = make_pp_train_step(model, opt, mesh, n_microbatches=2,
+                                donate=False, schedule="1f1b")
+    for _ in range(2):
+        ts_g, m_g = step_g(ts_g, x, y)
+        ts_f, m_f = step_f(ts_f, x, y)
+    np.testing.assert_allclose(float(m_g["loss"]), float(m_f["loss"]),
+                               rtol=1e-5)
+    assert int(m_g["correct"]) == int(m_f["correct"])
+    assert _max_dev(ts_g.params, ts_f.params) < 1e-5
+
+
+def test_1f1b_pp_tp_bn_matches_single_device():
+    """PP2 x TP2 + BatchNorm at M=1: 1F1B must match the single-device
+    step — BN state flows through the masked stat updates while the
+    NORMALIZATION inside the recomputed chunk vjp reads batch stats, so
+    the recompute is exact even with TP'd per-channel stats."""
+    model = PipeCNN(num_classes=3, width=8, n_blocks=4, image_size=32,
+                    remat=False, batch_norm=True)
+    opt = optim.sgd(1e-2)
+    ts0 = create_train_state(model, opt, jax.random.key(27))
+    x, y = _data(np.random.default_rng(27))
+
+    step1 = make_train_step(model, opt, donate=False)
+    ts1, m1 = step1(ts0, x, y)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 2, 2),
+                ("data", "stage", "model"))
+    tsp = shard_pp_train_state(ts0, mesh, model)
+    stepp = make_pp_train_step(model, opt, mesh, n_microbatches=1,
+                               donate=False, schedule="1f1b")
+    tsp, mp = stepp(tsp, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]),
+                               rtol=1e-5)
+    assert _max_dev(ts1.params, tsp.params) < 1e-5
+    assert _max_dev(ts1.state, tsp.state) < 1e-5
