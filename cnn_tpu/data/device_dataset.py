@@ -350,8 +350,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
     (the accumulation scan nests inside the steps chain).
 
     ``mixup`` / ``cutmix``: batch-pair label-mixing augmentation
-    (``ops.augment.batch_mix``); whole-batch pairing, so exclusive with
-    ``grad_accum > 1``.
+    (``ops.augment.batch_mix``); with ``grad_accum > 1`` pairs draw
+    within each accumulation chunk (``accumulate_grads``).
 
     ``distill``: ``(teacher_model, t_params, t_state, temperature, alpha)``
     — knowledge distillation; the teacher's eval-mode forward fuses into
@@ -366,9 +366,6 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
 
     if mesh is not None:
         assert dataset.mesh is mesh, "dataset must be uploaded onto the same mesh"
-    do_mix = mixup > 0.0 or cutmix > 0.0
-    assert not (do_mix and grad_accum > 1), \
-        "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     dst = normalize_distill(distill, grad_accum=grad_accum)
     t_params0, t_state0 = (dst[1], dst[2]) if dst else (None, None)
     from cnn_tpu.parallel.train_step import make_microbatch_regroup
@@ -406,7 +403,8 @@ def make_device_train_step(model, optimizer, dataset: DeviceDataset,
                 model, ts.params, ts.state, images, labels, k_model,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 label_smoothing=label_smoothing, regroup=regroup,
-                distill=dst, t_params=t_params, t_state=t_state)
+                distill=dst, t_params=t_params, t_state=t_state,
+                mixup=mixup, cutmix=cutmix)
         else:
             k_model, images, mix, dist = mix_and_teacher_targets(
                 k_model, images, mixup=mixup, cutmix=cutmix, distill=dst,

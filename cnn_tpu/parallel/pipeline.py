@@ -632,8 +632,10 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
       schedule, so effective batch scales past the per-chunk HBM limit.
     - ``mixup`` / ``cutmix``: pairs are mixed on the global batch before
       the pipeline; the last stage mixes the CE with (labels, labels[perm],
-      lam) — identical math to ``train_step._loss_fn``. Whole-batch
-      pairing, so exclusive with ``grad_accum > 1``.
+      lam) — identical math to ``train_step._loss_fn``. With
+      ``grad_accum > 1`` pairs draw within each accumulation chunk (same
+      marginal semantics; derivation mirrors ``accumulate_grads`` so the
+      PP and sequential accumulated-mix steps are testably equal).
     - ``distill``: teachers run eval-mode on the (augmented, mixed) batch
       outside the shard_map — their forward is stage-replicable because it
       needs no schedule; the tempered mean soft-target enters sharded over
@@ -664,8 +666,6 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
     assert schedule in ("gpipe", "1f1b"), f"unknown schedule '{schedule}'"
 
     mix_on = mixup > 0.0 or cutmix > 0.0
-    assert not (mix_on and grad_accum > 1), \
-        "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     dst = normalize_distill(distill, grad_accum=grad_accum)
     t_params0, t_states0 = (dst[1], dst[2]) if dst else (None, None)
     # shard_map in_specs for the optional per-batch extras (fixed by the
@@ -772,13 +772,19 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
     def compute_grads(params, state, images, labels, k_model,
                       t_params, t_states):
         """Shared (host/device) batch body: mixing + teacher targets under
-        GSPMD, then the pipelined fwd/bwd — once, or K-chunk accumulated."""
-        k_model, images, mix, dist = mix_and_teacher_targets(
-            k_model, images, mixup=mixup, cutmix=cutmix,
-            distill=dst if grad_accum == 1 else None,
-            t_params=t_params, t_state=t_states,
-            compute_dtype=compute_dtype)
+        GSPMD, then the pipelined fwd/bwd — once, or K-chunk accumulated.
+
+        With ``grad_accum > 1``, mixup/cutmix pairs draw WITHIN each chunk
+        (VERDICT r4 item 4b — same marginal semantics, chunk-sized pairing
+        pool): the mix key splits off the step key exactly as the K=1 path
+        does and chunk i folds its index, mirroring the sequential
+        ``accumulate_grads`` derivation bit-for-bit so PP-with-accum equals
+        sequential-with-accum (tested in tests/test_pp_compose.py)."""
         if grad_accum == 1:
+            k_model, images, mix, dist = mix_and_teacher_targets(
+                k_model, images, mixup=mixup, cutmix=cutmix, distill=dst,
+                t_params=t_params, t_state=t_states,
+                compute_dtype=compute_dtype)
             extras = []
             if mix is not None:
                 extras += [labels[mix[0]], mix[1]]
@@ -786,6 +792,9 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
                 extras.append(dist[0])
             return spmd(params, state, images, labels, k_model, *extras)
         K = grad_accum
+        k_mix = None
+        if mix_on:  # the same conditional split the K=1 path performs
+            k_model, k_mix = jax.random.split(k_model)
         if regroup is not None:  # shard-local chunk slicing (no reshard)
             imgs, lbls = regroup(images, labels)
         else:
@@ -798,9 +807,16 @@ def make_pp_train_step(model, optimizer: Optimizer, mesh: Mesh, *,
             st, gacc, lacc, cacc = carry
             x, y, i = xs
             extras = []
+            if mix_on:
+                from cnn_tpu.ops.augment import batch_mix
+                x, perm, lam = batch_mix(jax.random.fold_in(k_mix, i), x,
+                                         mixup_alpha=mixup,
+                                         cutmix_alpha=cutmix)
+                extras += [y[perm], lam]
             if dst is not None:
-                # teachers run per chunk (soft targets are per-sample, so
-                # the accumulated KD loss equals the full-batch computation)
+                # teachers run per chunk on the (mixed) images (soft
+                # targets are per-sample, so the accumulated KD loss
+                # equals the full-batch computation)
                 _, _, _, d = mix_and_teacher_targets(
                     k_model, x, mixup=0.0, cutmix=0.0, distill=dst,
                     t_params=t_params, t_state=t_states,

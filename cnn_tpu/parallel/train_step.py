@@ -147,7 +147,8 @@ def make_microbatch_regroup(mesh: Mesh, grad_accum: int):
 def accumulate_grads(model, params, state, images, labels, rng, *,
                      grad_accum, compute_dtype=None, remat=False,
                      label_smoothing=0.0, regroup=None,
-                     distill=None, t_params=None, t_state=None):
+                     distill=None, t_params=None, t_state=None,
+                     mixup=0.0, cutmix=0.0):
     """Mean gradients over ``grad_accum`` sequential microbatches.
 
     ``lax.scan`` re-uses one microbatch's activation memory for all K
@@ -168,6 +169,15 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     are per-sample and microbatches are equal-sized, so the accumulated
     KD loss/gradient equals the full-batch computation exactly (tested).
 
+    ``mixup``/``cutmix`` (VERDICT r4 item 4b) pair WITHIN each chunk —
+    the same marginal semantics (MixUp pairs within whatever batch it is
+    given), at a chunk-sized pairing pool. The mix key splits off the
+    step key exactly as the unaccumulated path does and chunk i folds
+    its index, with K=1 using the step's own mix stream — so K=1 through
+    this scan computes the SAME mixed batch as the unaccumulated step
+    (tested to float precision). Teachers see the mixed chunk, matching
+    ``mix_and_teacher_targets``'s order.
+
     Returns ``(grads, new_state, loss, correct)`` — loss is the mean over
     microbatches, correct the sum (full-batch semantics).
     """
@@ -175,6 +185,10 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     B = images.shape[0]
     assert B % K == 0, f"batch {B} not divisible by grad_accum {K}"
     mb = B // K
+    do_mix = mixup > 0.0 or cutmix > 0.0
+    k_mix = None
+    if do_mix:  # the same conditional split the K=1 path performs
+        rng, k_mix = jax.random.split(rng)
     if regroup is not None:  # mesh: shard-local microbatch slices
         imgs, lbls = regroup(images, labels)
     else:
@@ -184,12 +198,19 @@ def accumulate_grads(model, params, state, images, labels, rng, *,
     def micro(carry, xs):
         st, gacc, lacc, cacc = carry
         x, y, i = xs
+        mix = None
+        if do_mix:
+            from cnn_tpu.ops.augment import batch_mix
+            k_i = k_mix if K == 1 else jax.random.fold_in(k_mix, i)
+            x, perm, lam = batch_mix(k_i, x, mixup_alpha=mixup,
+                                     cutmix_alpha=cutmix)
+            mix = (perm, lam)
         _, _, _, dist = mix_and_teacher_targets(
             rng, x, mixup=0.0, cutmix=0.0, distill=distill,
             t_params=t_params, t_state=t_state, compute_dtype=compute_dtype)
         (loss, (st, corr)), g = jax.value_and_grad(_loss_fn, has_aux=True)(
             params, st, model, x, y, jax.random.fold_in(rng, i), True,
-            compute_dtype, remat, label_smoothing, None, dist)
+            compute_dtype, remat, label_smoothing, mix, dist)
         gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
         return (st, gacc, lacc + loss, cacc + corr), None
 
@@ -273,8 +294,11 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     activation-memory limit at the cost of K sequential trunk passes.
 
     ``mixup`` / ``cutmix`` (Beta alphas, 0 = off) blend batch pairs and
-    mix the loss accordingly (``ops.augment.batch_mix``); mixing pairs
-    span the whole batch, so they don't compose with ``grad_accum``.
+    mix the loss accordingly (``ops.augment.batch_mix``). With
+    ``grad_accum > 1`` pairs draw WITHIN each accumulation chunk (same
+    marginal semantics, chunk-sized pairing pool — see
+    ``accumulate_grads``); K=1 through the scan equals the unaccumulated
+    mixed step on rng-free models (tested to float precision).
 
     ``distill``: ``(teacher_model, t_params, t_state, temperature, alpha)``
     — knowledge distillation (Hinton et al. 2015). The teacher forward runs
@@ -285,9 +309,6 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
     accept LISTS (multi-teacher ensemble distillation: the target is the
     mean of the teachers' tempered softmaxes, Hinton §7).
     """
-    do_mix = mixup > 0.0 or cutmix > 0.0
-    assert not (do_mix and grad_accum > 1), \
-        "mixup/cutmix mix pairs across the whole batch; use grad_accum=1"
     dst = normalize_distill(distill, grad_accum=grad_accum)
     teacher, t_params0, t_state0 = (dst[:3] if dst else (None, None, None))
     regroup = (make_microbatch_regroup(mesh, grad_accum)
@@ -311,7 +332,7 @@ def make_train_step(model, optimizer: Optimizer, *, compute_dtype=None,
                 grad_accum=grad_accum, compute_dtype=compute_dtype,
                 remat=remat, label_smoothing=label_smoothing,
                 regroup=regroup, distill=dst, t_params=t_params,
-                t_state=t_state)
+                t_state=t_state, mixup=mixup, cutmix=cutmix)
         else:
             rng, images, mix, dist = mix_and_teacher_targets(
                 rng, images, mixup=mixup, cutmix=cutmix, distill=dst,

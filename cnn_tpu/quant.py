@@ -19,8 +19,11 @@ inference.cpp:53-72):
    they are free.
 
 Scope: every committed model family — flat Sequential (AlexNet/VGG),
-residual blocks with projection shortcuts (ResNet), and scanned trunks
-(pipecnn); MoE heads keep their f32 expert bank. The quality bar is
+residual blocks with projection shortcuts (ResNet), scanned trunks
+(pipecnn), and depthwise-separable stacks (MobileNet: dw->BN folds like
+conv->BN since the bank's last axis is its out channels, and dw banks
+quantize per-output-channel with grouped s8 x s8 -> s32); MoE heads keep
+their f32 expert bank. The quality bar is
 task-level: on the reference's own headline checkpoint the int8 path must
 keep classification agreement on the oracle images (tested) — per-logit
 deviation is bounded by calibration, not by epsilon.
@@ -33,8 +36,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cnn_tpu.nn.module import (BatchNorm2D, Conv2D, Linear, ResidualBlock,
-                               StackedBlocks)
+from cnn_tpu.nn.module import (BatchNorm2D, Conv2D, DepthwiseConv2D, Linear,
+                               ResidualBlock, StackedBlocks)
 from cnn_tpu.nn.sequential import Sequential
 
 
@@ -62,13 +65,20 @@ def _fold_conv_bn(conv_p, bn_p, bn_s, eps):
 
 
 def _fold_layer_list(layers, params, state):
-    """Fold Conv2D->BatchNorm2D pairs in a flat layer list."""
+    """Fold (Depthwise)Conv2D->BatchNorm2D pairs in a flat layer list.
+
+    The folding algebra is out-channel-wise, and a depthwise bank's last
+    axis IS its out channels (``[k, k, 1, C*mult]``, ops/conv.py), so the
+    same ``_fold_conv_bn`` broadcast covers both conv kinds — MobileNet's
+    dw->BN->ReLU->pw->BN->ReLU chain folds to dw->ReLU->pw->ReLU
+    (VERDICT r4 item 2)."""
     new_layers, new_params = [], {}
     i = 0
     while i < len(layers):
         layer = layers[i]
         nxt = layers[i + 1] if i + 1 < len(layers) else None
-        if (isinstance(layer, Conv2D) and isinstance(nxt, BatchNorm2D)):
+        if (isinstance(layer, (Conv2D, DepthwiseConv2D))
+                and isinstance(nxt, BatchNorm2D)):
             new_params[layer.name] = _fold_conv_bn(
                 params[layer.name], params[nxt.name], state[nxt.name],
                 nxt.eps)
@@ -213,7 +223,7 @@ def calibrate_activation_scales(model, params, state, images_u8) -> dict:
     _, _, acts = net.apply(params, state, x, train=False, capture=names)
     scales, prev = {}, x
     for layer in net.layers:
-        if isinstance(layer, (Conv2D, Linear)):
+        if isinstance(layer, (Conv2D, DepthwiseConv2D, Linear)):
             scales[layer.name] = _scale_of(prev)
         elif isinstance(layer, StackedBlocks):
             scales[layer.name] = _trunk_calibrate(layer, params[layer.name],
@@ -244,7 +254,9 @@ def quantize_int8(model, params, state, calib_images_u8):
         folded, fparams, {}, calib_images_u8)
     qparams = {}
     for layer in folded.net.layers:
-        if isinstance(layer, Conv2D):
+        if isinstance(layer, (Conv2D, DepthwiseConv2D)):
+            # per-output-channel scales cover depthwise banks for free:
+            # their groups ARE the output channels (w [k, k, 1, C*mult])
             q, s = _quantize_weight(fparams[layer.name]["w"], axis=3)
             qparams[layer.name] = {"w_q": q, "w_scale": s,
                                    "b": fparams[layer.name]["b"],
@@ -295,13 +307,18 @@ def _q_act(x, in_scale):
     return jnp.clip(jnp.round(x / in_scale), -127, 127).astype(jnp.int8)
 
 
-def _q_conv(layer: Conv2D, p: dict, x: jnp.ndarray):
+def _q_conv(layer, p: dict, x: jnp.ndarray):
+    """Int8 conv, dense or depthwise: ``feature_group_count=C`` routes a
+    DepthwiseConv2D's bank exactly as its f32 op does (ops/conv.py) —
+    s8 x s8 -> s32 accumulation either way."""
     from jax import lax
     qx = _q_act(x, p["in_scale"])
     pad = [(layer.padding, layer.padding)] * 2
+    groups = x.shape[-1] if isinstance(layer, DepthwiseConv2D) else 1
     acc = lax.conv_general_dilated(
         qx, p["w_q"], (layer.stride, layer.stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (p["in_scale"] * p["w_scale"]) + p["b"]
 
@@ -314,7 +331,7 @@ def quantized_apply(folded: FoldedModel, qparams: dict, x: jnp.ndarray):
     from jax import lax
 
     for layer in folded.net.layers:
-        if isinstance(layer, Conv2D):
+        if isinstance(layer, (Conv2D, DepthwiseConv2D)):
             x = _q_conv(layer, qparams[layer.name], x)
         elif isinstance(layer, ResidualBlock):
             p = qparams[layer.name]

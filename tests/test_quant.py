@@ -384,3 +384,61 @@ def test_int8_moecnn_committed_checkpoint_agreement():
     fwd = make_int8_forward(model, params, state, imgs)
     probs = np.asarray(fwd(jnp.asarray(imgs)))
     assert probs.argmax(1).tolist() == f32_pred.tolist()
+
+
+def _trained_mobilenet(steps=10, image_size=32):
+    model = get_model("mobilenet", num_classes=3, batch_norm=True,
+                      image_size=image_size, width=0.5)
+    opt = optim.sgd(1e-2)
+    ts = create_train_state(model, opt, jax.random.key(20))
+    step = make_train_step(model, opt, donate=False)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.integers(0, 256, (16, image_size, image_size, 3),
+                                 dtype=np.uint8))
+    y = jnp.asarray(np.arange(16, dtype=np.int32) % 3)
+    for _ in range(steps):
+        ts, _ = step(ts, x, y)
+    return model, ts
+
+
+def test_fold_batchnorm_mobilenet_exact():
+    """DepthwiseConv2D->BN pairs fold exactly like Conv2D->BN (the bank's
+    last axis is its out channels) — MobileNet's dw/pw BN chain folds to a
+    BN-free graph equal to the f32 eval graph (VERDICT r4 item 2)."""
+    from cnn_tpu.nn.module import BatchNorm2D, DepthwiseConv2D
+
+    model, ts = _trained_mobilenet()
+    folded, fparams = fold_batchnorm(model, ts.params, ts.state)
+    assert not any(isinstance(l, BatchNorm2D) for l in folded.net.layers)
+    assert any(isinstance(l, DepthwiseConv2D) for l in folded.net.layers)
+    x = jnp.asarray(np.random.default_rng(22).integers(
+        0, 256, (4, 32, 32, 3), np.uint8)).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    l1, _, _ = folded.apply(fparams, {}, x)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_mobilenet_agreement():
+    """Int8 MobileNet: depthwise banks quantize per-output-channel (the
+    groups ARE the channels) and run grouped s8 x s8 -> s32; classifies
+    like the f32 graph."""
+    model, ts = _trained_mobilenet()
+    rng = np.random.default_rng(23)
+    calib = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    test = rng.integers(0, 256, (32, 32, 32, 3), dtype=np.uint8)
+
+    folded, qparams = quantize_int8(model, ts.params, ts.state, calib)
+    assert qparams["dw_1"]["w_q"].dtype == jnp.int8
+    assert qparams["dw_1"]["w_q"].shape[2] == 1          # grouped bank
+    assert qparams["dw_1"]["w_scale"].shape == (qparams["dw_1"]["w_q"].shape[3],)
+    assert qparams["pw_1"]["w_q"].dtype == jnp.int8
+    assert qparams["linear_1"]["w_q"].dtype == jnp.int8
+
+    fwd = make_int8_forward(model, ts.params, ts.state, calib)
+    probs = np.asarray(fwd(jnp.asarray(test)))
+    x = jnp.asarray(test).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(ts.params, ts.state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+    agree = (probs.argmax(1) == f32_pred).mean()
+    assert agree >= 0.9, f"int8/f32 agreement {agree}"
