@@ -311,14 +311,23 @@ def _main(argv, preempted):
         # comma-separated lists = ensemble distillation (the target is the
         # mean of the teachers' tempered softmaxes)
         t_ckpts = [c for c in train_cfg.distill_from.split(",") if c]
-        t_names = ([n for n in train_cfg.distill_model.split(",") if n]
+        # each teacher spec is family[@key=val...] — shaped teachers
+        # (e.g. pipecnn@width=256@n_blocks=8) enable cross-family
+        # ensembles whose members don't share the student's geometry
+        t_specs = ([n for n in train_cfg.distill_model.split(",") if n]
                    or [model_cfg.name])
-        if len(t_names) == 1:
-            t_names = t_names * len(t_ckpts)
-        assert len(t_names) == len(t_ckpts), \
+        if len(t_specs) == 1:
+            t_specs = t_specs * len(t_ckpts)
+        assert len(t_specs) == len(t_ckpts), \
             "--distill-model must list one family (shared) or one per ckpt"
         teachers, t_params, t_states = [], [], []
-        for t_name, ck in zip(t_names, t_ckpts):
+        for t_spec, ck in zip(t_specs, t_ckpts):
+            t_name, *t_kv = t_spec.split("@")
+            t_kwargs = {}
+            for kv in t_kv:
+                k, v = kv.split("=", 1)
+                t_kwargs[k.replace("-", "_")] = (
+                    int(v) if v.lstrip("-").isdigit() else float(v))
             t_ts = load_checkpoint(ck)
             p = optim.ema_params(t_ts.opt_state)
             t_params.append(t_ts.params if p is None else p)
@@ -330,11 +339,12 @@ def _main(argv, preempted):
             teachers.append(get_model(t_name,
                                       num_classes=model_cfg.num_classes,
                                       image_size=model_cfg.image_size,
-                                      batch_norm=tree_has_bn(t_ts.params)))
+                                      batch_norm=tree_has_bn(t_ts.params),
+                                      **t_kwargs))
         distill = (teachers, t_params, t_states,
                    train_cfg.distill_temp, train_cfg.distill_alpha)
         print(f"distilling from {len(teachers)} teacher(s) "
-              f"{list(zip(t_names, t_ckpts))} "
+              f"{list(zip(t_specs, t_ckpts))} "
               f"(T={train_cfg.distill_temp}, alpha={train_cfg.distill_alpha})")
 
     device_train_ds = device_valid_ds = None
