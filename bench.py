@@ -192,11 +192,12 @@ def measure_pipecnn_mfu(width: int = 256, n_blocks: int = 8,
     return ips, ips * train_flops_per_image(model) / peak_bf16_flops()
 
 
-def measure_infer_device_ms(n: int = 100) -> float:
+def measure_infer_device_ms(n: int = 100, repeats: int = 5):
     """Compute-only single-image forward latency: N forwards chained in one
     on-device fori_loop (input perturbed per iteration so XLA can't CSE),
     one program launch, time / N. Excludes the ~30 ms host<->TPU tunnel RPC
-    that dominates ``infer_p50_ms`` on this setup."""
+    that dominates ``infer_p50_ms`` on this setup. Median of ``repeats``
+    program launches, + spread."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -217,12 +218,25 @@ def measure_infer_device_ms(n: int = 100) -> float:
 
     x = jnp.zeros((1, 224, 224, 3), jnp.float32)
     float(jnp.sum(fwd_loop(params, state, x)))  # compile
-    t0 = time.perf_counter()
-    float(jnp.sum(fwd_loop(params, state, x)))
-    return 1e3 * (time.perf_counter() - t0) / n
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(fwd_loop(params, state, x)))
+        runs.append(1e3 * (time.perf_counter() - t0) / n)
+    return _median_spread(runs)
 
 
-def measure_infer_p50(n: int = 50) -> float:
+def _median_spread(samples) -> tuple[float, float, float]:
+    """(median, min, max) over repeated measurements — the RPC-bound
+    metrics ride a shared tunnel whose state varies run to run (VERDICT r4
+    item 1: a single-shot number cannot distinguish a regression from
+    tunnel jitter; r3->r4 drifted 7.4->13.8 ms with zero code change)."""
+    s = sorted(float(v) for v in samples)
+    return float(np.median(s)), s[0], s[-1]
+
+
+def measure_infer_p50(n: int = 50, repeats: int = 5):
+    """Median-of-``repeats`` of the blocking single-image p50, + spread."""
     import jax
     import jax.numpy as jnp
     from cnn_tpu.models import AlexNet
@@ -233,20 +247,23 @@ def measure_infer_p50(n: int = 50) -> float:
     fwd = make_forward(model)
     x = jnp.zeros((1, 224, 224, 3), jnp.uint8)
     np.asarray(fwd(params, state, x))  # compile
-    lat = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        np.asarray(fwd(params, state, x))  # blocking fetch = honest latency
-        lat.append(time.perf_counter() - t0)
-    return 1e3 * float(np.percentile(lat, 50))
+    p50s = []
+    for _ in range(repeats):
+        lat = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fwd(params, state, x))  # blocking fetch = honest
+            lat.append(time.perf_counter() - t0)
+        p50s.append(1e3 * float(np.percentile(lat, 50)))
+    return _median_spread(p50s)
 
 
-def measure_infer_stream(n: int = 200, depth: int = 8) -> float:
+def measure_infer_stream(n: int = 200, depth: int = 8, repeats: int = 5):
     """Steady-state per-image latency of a pipelined request STREAM
     (serving.InferenceEngine.predict_stream): dispatch and device->host
     copies overlap across ``depth`` in-flight requests, so the per-request
     blocking round trip is amortized. The honest one-at-a-time number is
-    ``infer_p50_ms``."""
+    ``infer_p50_ms``. Median of ``repeats`` full streams, + spread."""
     import jax
     from cnn_tpu.models import AlexNet
     from cnn_tpu.serving import InferenceEngine
@@ -260,10 +277,13 @@ def measure_infer_stream(n: int = 200, depth: int = 8) -> float:
     # warm the stream path once
     for _ in engine.predict_stream(imgs[:depth * 2], depth=depth):
         pass
-    t0 = time.perf_counter()
-    for _ in engine.predict_stream(imgs, depth=depth):
-        pass
-    return 1e3 * (time.perf_counter() - t0) / n
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in engine.predict_stream(imgs, depth=depth):
+            pass
+        runs.append(1e3 * (time.perf_counter() - t0) / n)
+    return _median_spread(runs)
 
 
 def check_parity() -> float | None:
@@ -344,9 +364,9 @@ def main():
     f32 = measure_train(None, batch_size=256, iters=30)
     e2e = measure_train_e2e()
     e2e_full = measure_train_e2e(augment="full")
-    infer_p50 = measure_infer_p50()
-    infer_stream = measure_infer_stream()
-    infer_dev = measure_infer_device_ms()
+    infer_p50, p50_lo, p50_hi = measure_infer_p50()
+    infer_stream, stream_lo, stream_hi = measure_infer_stream()
+    infer_dev, dev_lo, dev_hi = measure_infer_device_ms()
     parity = check_parity()
     deep_ips, deep_mfu = measure_pipecnn_mfu()
     _, deep_wide_mfu = measure_pipecnn_mfu(width=512, batch_size=128)
@@ -382,11 +402,17 @@ def main():
         "deep_mfu_pct": round(100 * deep_mfu, 2),
         "deep_wide_mfu_pct": round(100 * deep_wide_mfu, 2),  # pipecnn w512 L8
         "peak_bf16_tflops": round(peak / 1e12),
+        # RPC-bound metrics: median of 5 runs + [min, max] spread (the
+        # tunnel's state varies run to run; a single-shot number cannot
+        # tell a regression from jitter — VERDICT r4 item 1)
         "infer_p50_ms": round(infer_p50, 2),
+        "infer_p50_ms_spread": [round(p50_lo, 2), round(p50_hi, 2)],
         "infer_p50_vs_baseline": round(BASELINE_INFER_P50_MS / infer_p50, 2),
         "infer_stream_ms_per_image": round(infer_stream, 2),
+        "infer_stream_ms_spread": [round(stream_lo, 2), round(stream_hi, 2)],
         "infer_stream_vs_baseline": round(BASELINE_INFER_P50_MS / infer_stream, 1),
         "infer_device_ms": round(infer_dev, 3),
+        "infer_device_ms_spread": [round(dev_lo, 3), round(dev_hi, 3)],
         "infer_device_vs_baseline": round(BASELINE_INFER_P50_MS / infer_dev, 1),
         "logit_parity_max_dev": parity if parity is None else float(f"{parity:.3g}"),
         "baseline_train_images_per_sec_cpu": BASELINE_TRAIN_IMGS_PER_SEC,
