@@ -133,6 +133,9 @@ class TrainConfig:
     pipeline_schedule: str = "gpipe"  # 'gpipe' (all-forward-then-backward)
                                       # | '1f1b' (memory-bounded: live
                                       # activations O(stages), not O(M))
+    virtual_stages: int = 1         # interleaved 1F1B (Megatron-style): V
+                                    # non-contiguous trunk chunks per stage,
+                                    # bubble 2(S-1)/V; needs M % stages == 0
     multihost: bool = False         # jax.distributed.initialize() for multi-host
                                     # slices (same SPMD code; DCN joins the mesh)
     coordinator: str = ""           # host:port of process 0 ('' = from env)

@@ -376,7 +376,8 @@ def _main(argv, preempted):
                 batch_size=train_cfg.train_batch_size,
                 augment_fn=augment_fn, sample_mode=data_cfg.sample_mode,
                 steps_per_call=train_cfg.steps_per_call,
-                schedule=train_cfg.pipeline_schedule)
+                schedule=train_cfg.pipeline_schedule,
+                virtual_stages=train_cfg.virtual_stages)
         else:
             step_fn = make_device_train_step(
                 model, opt, device_train_ds, train_cfg.train_batch_size,
@@ -397,7 +398,8 @@ def _main(argv, preempted):
             grad_accum=train_cfg.grad_accum,
             mixup=train_cfg.mixup, cutmix=train_cfg.cutmix,
             distill=distill, augment_fn=augment_fn,
-            schedule=train_cfg.pipeline_schedule)
+            schedule=train_cfg.pipeline_schedule,
+            virtual_stages=train_cfg.virtual_stages)
     else:
         step_fn = make_train_step(model, opt, compute_dtype=compute_dtype,
                                   mesh=mesh, donate=train_cfg.donate,

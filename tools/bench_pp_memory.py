@@ -45,7 +45,8 @@ from jax.sharding import Mesh  # noqa: E402
 
 
 def measure(schedule: str, n_mb: int, *, stages: int = 4, width: int = 32,
-            n_blocks: int = 8, image_size: int = 64, per_mb: int = 4) -> int:
+            n_blocks: int = 8, image_size: int = 64, per_mb: int = 4,
+            virtual_stages: int = 1) -> int:
     """Peak temp bytes of one compiled PP train step (batch = M * per_mb,
     so the per-microbatch work is CONSTANT across M — exactly the regime
     where GPipe's live set grows and 1F1B's must not)."""
@@ -61,7 +62,8 @@ def measure(schedule: str, n_mb: int, *, stages: int = 4, width: int = 32,
     ts = shard_pp_train_state(
         create_train_state(model, opt, jax.random.key(0)), mesh, model)
     step = make_pp_train_step(model, opt, mesh, n_microbatches=n_mb,
-                              donate=False, schedule=schedule)
+                              donate=False, schedule=schedule,
+                              virtual_stages=virtual_stages)
     bs = n_mb * per_mb
     x = jax.ShapeDtypeStruct((bs, image_size, image_size, 3), np.uint8)
     y = jax.ShapeDtypeStruct((bs,), np.int32)
@@ -91,6 +93,14 @@ def main():
     for schedule in ("gpipe", "1f1b"):
         deep = [measure(schedule, m, n_blocks=16) for m in deep_ms]
         deep_slopes[schedule] = float(np.polyfit(deep_ms, deep, 1)[0]) / 2**20
+    # interleaved 1F1B: the ring holds 2*V*S - 1 chunk inputs (~V x the
+    # V=1 ring) — the documented memory price of the 1/V bubble cut;
+    # still O(S) in M (the slope must stay 1F1B-flat)
+    ms_i = [4, 8, 16]
+    v2 = [measure("1f1b", m, virtual_stages=2) for m in ms_i]
+    v2_slope = float(np.polyfit(ms_i, v2, 1)[0]) / 2**20
+    print(f"1f1b V=2 temp MB at M={ms_i}: "
+          f"{[round(v / 2**20, 1) for v in v2]}")
     print(json.dumps({
         "metric": "pp_temp_mem_slope_mb_per_microbatch",
         "gpipe": round(slopes["gpipe"], 3),
@@ -98,6 +108,8 @@ def main():
         "ratio": round(slopes["gpipe"] / max(slopes["1f1b"], 1e-9), 1),
         "gpipe_2x_depth": round(deep_slopes["gpipe"], 3),
         "1f1b_2x_depth": round(deep_slopes["1f1b"], 3),
+        "1f1b_v2": round(v2_slope, 3),
+        "1f1b_v2_temp_mb": [round(v / 2**20, 1) for v in v2],
         "temp_mb": {s: [round(v / 2**20, 1) for v in rows[s]]
                     for s in rows},
     }))

@@ -42,7 +42,7 @@ from jax.sharding import Mesh  # noqa: E402
 
 def time_step(schedule: str, n_mb: int, *, stages: int = 4,
               width: int = 64, n_blocks: int = 8, image_size: int = 64,
-              per_mb: int = 8, reps: int = 5) -> float:
+              per_mb: int = 8, reps: int = 5, virtual_stages: int = 1) -> float:
     """Best-of-reps seconds per PP train step at constant per-microbatch
     work (batch = M * per_mb) — the regime where only the schedule's
     bubble differs across M."""
@@ -58,7 +58,8 @@ def time_step(schedule: str, n_mb: int, *, stages: int = 4,
     ts = shard_pp_train_state(
         create_train_state(model, opt, jax.random.key(0)), mesh, model)
     step = make_pp_train_step(model, opt, mesh, n_microbatches=n_mb,
-                              donate=False, schedule=schedule)
+                              donate=False, schedule=schedule,
+                              virtual_stages=virtual_stages)
     bs = n_mb * per_mb
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.integers(0, 255, (bs, image_size, image_size, 3),
@@ -86,6 +87,18 @@ def main():
             f"M={m}: {t * 1e3:7.1f} ms" for m, t in zip(ms, ts)))
     out["eager_over_classic_predicted"] = [
         round((2 * m + 4 * S - 4) / (2 * m + 2 * S - 2), 3) for m in ms]
+    # interleaved 1F1B (V=2): predicted classic/interleaved wall =
+    # (2M + 2S - 2) / (2M + (2S - 2)/V) — the bubble's 1/V cut, everything
+    # else equal. M must divide by S.
+    V = 2
+    ms_i = [m for m in ms if m % S == 0]
+    ts = [time_step("1f1b", m, stages=S, virtual_stages=V) for m in ms_i]
+    out["1f1b_v2"] = [round(t, 4) for t in ts]
+    out["classic_over_interleaved_predicted"] = [
+        round((2 * m + 2 * S - 2) / (2 * m + (2 * S - 2) / V), 3)
+        for m in ms_i]
+    print(f"1f1bV2: " + "  ".join(
+        f"M={m}: {t * 1e3:7.1f} ms" for m, t in zip(ms_i, ts)))
     print(json.dumps(out))
 
 
