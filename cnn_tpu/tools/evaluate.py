@@ -76,7 +76,16 @@ def main(argv=None):
         models, params, state = [], [], []
         for spec in pre_ns.ensemble.split(","):
             name, _, ck = spec.partition(":")
-            assert ck, f"--ensemble spec '{spec}' must be name:ckpt"
+            assert ck, f"--ensemble spec '{spec}' must be name[@k=v...]:ckpt"
+            # shaped members (pipecnn@width=256@n_blocks=8:ckpt) — same
+            # syntax as the train CLI's --distill-model, so any teacher
+            # ensemble used for distillation can also be evaluated directly
+            name, *kvs = name.split("@")
+            kwargs = {}
+            for kv in kvs:
+                k, v = kv.split("=", 1)
+                kwargs[k.replace("-", "_")] = (
+                    int(v) if v.lstrip("-").isdigit() else float(v))
             p, s = load_params(ck)
             # BN-ness is a property of each member's CHECKPOINT, not of a
             # shared CLI flag: a BN param tree loaded into a BN-free model
@@ -84,7 +93,7 @@ def main(argv=None):
             # unknown keys) and evaluate garbage
             models.append(get_model(name, num_classes=model_cfg.num_classes,
                                     image_size=model_cfg.image_size,
-                                    batch_norm=tree_has_bn(p)))
+                                    batch_norm=tree_has_bn(p), **kwargs))
             params.append(p)
             state.append(s)
         eval_fn = make_ensemble_eval_step(models, compute_dtype=compute_dtype,

@@ -87,3 +87,27 @@ def test_evaluate_cli_ensemble(tiny_ckpt, capsys):
     assert "ensemble of 2 models" in ens
     line = [l for l in single.splitlines() if "Valid===>" in l][0]
     assert line in ens  # identical members -> identical metrics
+
+
+def test_evaluate_cli_ensemble_shaped_member(tiny_ckpt, tmp_path, capsys):
+    """Shaped member spec (family@key=val:ckpt) — the same syntax the train
+    CLI's --distill-model uses, so a distillation teacher ensemble can be
+    evaluated directly."""
+    from cnn_tpu.tools import train, evaluate
+    d = str(tmp_path / "pipecnn_tiny")
+    rc = train.main(["--name", "pipecnn", "--width", "8", "--n-blocks", "1",
+                     "--total-iters", "2", "--valid-iters", "2",
+                     "--save-iters", "2", "--train-batch-size", "4",
+                     "--valid-batch-size", "32", "--image-size", "64",
+                     "--checkpoint-dir", d, "--augment", "false"])
+    assert rc == 0
+    capsys.readouterr()
+    ck = [f for f in os.listdir(d) if f.endswith(".ckpt")][0]
+    rc = evaluate.main(["--ensemble",
+                        f"alexnet:{tiny_ckpt},"
+                        f"pipecnn@width=8@n_blocks=1:{os.path.join(d, ck)}",
+                        "--split", "valid",
+                        "--image-size", "64", "--valid-batch-size", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ensemble of 2 models" in out and "Valid===>" in out
